@@ -1,0 +1,120 @@
+"""RQ-spline coupling blocks and modules.
+
+Reference parity (SURVEY.md §2a row 3): AdaptiveFlows.jl
+src/rqspline_coupling.jl — `RQSplineCouplingBlock` (mask + dense conditioner
+mapping pass-through dims to 3K-1 spline params per target dim) and
+`RQSplineCouplingModule` (stack of blocks with alternating masks covering
+all dims), forward/inverse apply with exact ladj accumulation.
+
+TPU design: dense-mask formulation (see flows/affine.py) — the conditioner
+consumes `x * mask` at full width d and emits (d, 3K-1) params; the spline
+is evaluated on every dim and the mask selects transformed dims. Static
+shapes, no gathers, one MXU matmul per conditioner layer. The spline eval
+itself dispatches to the Pallas kernel on TPU (use_pallas=True) or the
+pure-jnp oracle (flows/rqs_ref.py).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tpuflows.flows import rqs_ref
+from tpuflows.flows.core import Bijector, Chain
+from tpuflows.flows.nets import MLP
+from tpuflows.util.pytree import pytree_dataclass, static_field
+from tpuflows.util.shapes import alternating_mask, mask_array
+
+
+def _spline_fns(use_pallas: bool):
+    if use_pallas:
+        from tpuflows.kernels import rqs_pallas
+
+        return rqs_pallas.rqs_forward_from_raw, rqs_pallas.rqs_inverse_from_raw
+    return rqs_ref.rqs_forward_from_raw, rqs_ref.rqs_inverse_from_raw
+
+
+@pytree_dataclass
+class RQSCouplingBlock(Bijector):
+    """One coupling block: conditioner MLP -> per-dim RQS transform.
+
+    mask[i] == 1: pass-through dim; 0: spline-transformed dim.
+    """
+
+    mask: tuple = static_field()
+    net: MLP = None
+    knots: int = static_field(default=8)
+    range_limit: float = static_field(default=rqs_ref.DEFAULT_RANGE)
+    use_pallas: bool = static_field(default=False)
+
+    def _raw_params(self, masked_input):
+        d = len(self.mask)
+        h = self.net(masked_input)
+        return h.reshape(*h.shape[:-1], d, 3 * self.knots - 1)
+
+    def forward_and_ladj(self, x):
+        fwd, _ = _spline_fns(self.use_pallas)
+        b = mask_array(self.mask, x.dtype)
+        raw = self._raw_params(x * b)
+        y, ladj_el = fwd(x, raw, self.range_limit)
+        z = b * x + (1.0 - b) * y
+        ladj = jnp.sum((1.0 - b) * ladj_el, axis=-1)
+        return z, ladj
+
+    def inverse_and_ladj(self, z):
+        _, inv = _spline_fns(self.use_pallas)
+        b = mask_array(self.mask, z.dtype)
+        raw = self._raw_params(z * b)  # pass dims unchanged: z*b == x*b
+        x_t, ladj_el = inv(z, raw, self.range_limit)
+        x = b * z + (1.0 - b) * x_t
+        ladj = jnp.sum((1.0 - b) * ladj_el, axis=-1)
+        return x, ladj
+
+    @staticmethod
+    def init(
+        key: jax.Array,
+        mask: tuple,
+        knots: int = 8,
+        hidden: tuple = (64, 64),
+        activation: str = "silu",
+        range_limit: float = rqs_ref.DEFAULT_RANGE,
+        use_pallas: bool = False,
+    ) -> "RQSCouplingBlock":
+        d = len(mask)
+        net = MLP.init(
+            key, (d, *hidden, d * (3 * knots - 1)), activation=activation
+        )
+        return RQSCouplingBlock(
+            mask=tuple(mask),
+            net=net,
+            knots=knots,
+            range_limit=range_limit,
+            use_pallas=use_pallas,
+        )
+
+
+def rqs_coupling_module(
+    key: jax.Array,
+    dim: int,
+    n_blocks: int = 4,
+    knots: int = 8,
+    hidden: tuple = (64, 64),
+    activation: str = "silu",
+    range_limit: float = rqs_ref.DEFAULT_RANGE,
+    use_pallas: bool = False,
+) -> Chain:
+    """`RQSplineCouplingModule` parity: n_blocks blocks with alternating
+    checkerboard masks so every dim is transformed by half the blocks."""
+    keys = jax.random.split(key, n_blocks)
+    blocks = tuple(
+        RQSCouplingBlock.init(
+            keys[i],
+            alternating_mask(dim, i % 2),
+            knots=knots,
+            hidden=hidden,
+            activation=activation,
+            range_limit=range_limit,
+            use_pallas=use_pallas,
+        )
+        for i in range(n_blocks)
+    )
+    return Chain(transforms=blocks)

@@ -1,0 +1,229 @@
+"""Flow training: forward-KL / reverse-KL losses + the optimize loop.
+
+Reference parity (SURVEY.md §2a row 5): AdaptiveFlows.jl src/optimize_flow.jl
+  - `optimize_flow(smpls, flow, opt; loss, nbatches, nepochs, shuffle_samples)`
+  - `optimize_flow_sequentially` (module-by-module training)
+  - losses `negll_flow` (forward KL) / `mvnormal_negll_flow`
+Zygote.gradient -> jax.value_and_grad; Optimisers.jl Adam -> optax.adam.
+
+TPU design: the whole (epochs x batches) loop is ONE jitted `lax.scan` —
+no host round-trips per step; per-epoch reshuffles happen inside the scan
+via jax.random.permutation. Data-parallel training: pass `axis_name` when
+running under shard_map — gradients and losses are pmean'd across the mesh
+(the BASELINE.json:5 "psum collectives" requirement; wiring in
+tpuflows.dist.collectives).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpuflows.flows.core import Bijector, Chain
+from tpuflows.targets.base import std_normal_logpdf
+from tpuflows.util.pytree import pytree_dataclass
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+def negll_flow_loss(flow: Bijector, x: jax.Array) -> jax.Array:
+    """Forward KL: -E_x[ log N(f(x); 0, I) + ladj_f(x) ] (reference
+    `negll_flow_loss`). x: (batch, d)."""
+    z, ladj = flow.forward_and_ladj(x)
+    return -jnp.mean(std_normal_logpdf(z) + ladj)
+
+
+# The reference's std-normal-base specialization is the same computation here.
+mvnormal_negll_flow = negll_flow_loss
+
+
+def reverse_kl_loss(flow: Bijector, log_density: Callable, z: jax.Array):
+    """Reverse KL (up to the base entropy constant):
+    KL(q || p) = E_z[ -ladj_inv(z) - log p(f^-1(z)) ] + const,  z ~ N(0, I).
+
+    This is also the negative ELBO for VI with the flow as variational
+    family (SURVEY.md §2b row 17); reused verbatim by tpuflows.vi.elbo.
+    """
+    x, ladj = flow.inverse_and_ladj(z)
+    return -jnp.mean(log_density(x) + ladj)
+
+
+# ---------------------------------------------------------------------------
+# Optimize loop
+# ---------------------------------------------------------------------------
+@pytree_dataclass
+class TrainResult:
+    result: Bijector  # trained flow (reference returns `(result, ...)`)
+    optimizer_state: object
+    loss_hist: jax.Array  # (nepochs * nbatches,)
+
+
+def _pmean_if(axis_name, tree):
+    if axis_name is None:
+        return tree
+    return jax.lax.pmean(tree, axis_name)
+
+
+def make_train_step(
+    optimizer: optax.GradientTransformation,
+    loss_fn: Callable,
+    axis_name: Optional[str] = None,
+):
+    """One SGD step: value_and_grad -> (optional) cross-device pmean -> update.
+
+    `loss_fn(flow, batch)` must be a scalar. Under shard_map with
+    `axis_name` set, this is the DP-allreduce of SURVEY.md §2c.
+    """
+
+    def step(flow, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(flow, batch)
+        grads = _pmean_if(axis_name, grads)
+        loss = _pmean_if(axis_name, loss)
+        updates, opt_state = optimizer.update(grads, opt_state, flow)
+        flow = optax.apply_updates(flow, updates)
+        return flow, opt_state, loss
+
+    return step
+
+
+def optimize_flow(
+    key: jax.Array,
+    samples: jax.Array,
+    flow: Bijector,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    loss: Callable = negll_flow_loss,
+    nbatches: int = 10,
+    nepochs: int = 100,
+    shuffle_samples: bool = True,
+    axis_name: Optional[str] = None,
+    opt_state=None,
+) -> TrainResult:
+    """Train `flow` on an (N, d) sample matrix by minibatch SGD.
+
+    Signature mirrors the reference's optimize_flow (SURVEY.md §3.2); the
+    entire nepochs x nbatches loop runs inside one jitted lax.scan.
+    """
+    if optimizer is None:
+        optimizer = optax.adam(1e-3)
+    n = samples.shape[0]
+    bs = n // nbatches
+    if bs == 0:
+        raise ValueError(f"{n} samples cannot form {nbatches} batches")
+    n_used = bs * nbatches
+    step = make_train_step(optimizer, loss, axis_name)
+
+    if opt_state is None:
+        opt_state = optimizer.init(flow)
+
+    def epoch_body(carry, epoch_key):
+        flow, opt_state = carry
+        if shuffle_samples:
+            perm = jax.random.permutation(epoch_key, n)[:n_used]
+        else:
+            perm = jnp.arange(n_used)
+        batches = samples[perm].reshape(nbatches, bs, -1)
+
+        def batch_body(c, batch):
+            f, s = c
+            f, s, l = step(f, s, batch)
+            return (f, s), l
+
+        (flow, opt_state), losses = jax.lax.scan(
+            batch_body, (flow, opt_state), batches
+        )
+        return (flow, opt_state), losses
+
+    epoch_keys = jax.random.split(key, nepochs)
+
+    @jax.jit
+    def run(flow, opt_state, epoch_keys):
+        (flow, opt_state), losses = jax.lax.scan(
+            epoch_body, (flow, opt_state), epoch_keys
+        )
+        return flow, opt_state, losses.reshape(-1)
+
+    flow, opt_state, loss_hist = run(flow, opt_state, epoch_keys)
+    return TrainResult(result=flow, optimizer_state=opt_state, loss_hist=loss_hist)
+
+
+def optimize_flow_reverse_kl(
+    key: jax.Array,
+    log_density: Callable,
+    flow: Bijector,
+    dim: int,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    batch_size: int = 512,
+    nsteps: int = 1000,
+    axis_name: Optional[str] = None,
+    opt_state=None,
+) -> TrainResult:
+    """Reverse-KL (self-sampling) training against `log_density` —
+    config 2 (BASELINE.json:8) and the VI path (SURVEY.md §2b row 17).
+    Fresh base draws every step, all inside one jitted lax.scan."""
+    if optimizer is None:
+        optimizer = optax.adam(1e-3)
+    loss_fn = lambda f, z: reverse_kl_loss(f, log_density, z)
+    step = make_train_step(optimizer, loss_fn, axis_name)
+    if opt_state is None:
+        opt_state = optimizer.init(flow)
+
+    @jax.jit
+    def run(flow, opt_state, key):
+        def body(carry, k):
+            f, s = carry
+            z = jax.random.normal(k, (batch_size, dim), jnp.float32)
+            f, s, l = step(f, s, z)
+            return (f, s), l
+
+        keys = jax.random.split(key, nsteps)
+        (flow, opt_state), losses = jax.lax.scan(body, (flow, opt_state), keys)
+        return flow, opt_state, losses
+
+    flow, opt_state, loss_hist = run(flow, opt_state, key)
+    return TrainResult(result=flow, optimizer_state=opt_state, loss_hist=loss_hist)
+
+
+def _freeze_all_but(chain: Chain, i: int) -> Chain:
+    """stop_gradient every module except the i-th (sequential training)."""
+    ts = tuple(
+        t if j == i else jax.tree_util.tree_map(jax.lax.stop_gradient, t)
+        for j, t in enumerate(chain.transforms)
+    )
+    return Chain(transforms=ts)
+
+
+def optimize_flow_sequentially(
+    key: jax.Array,
+    samples: jax.Array,
+    flow: Chain,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    loss: Callable = negll_flow_loss,
+    nbatches: int = 10,
+    nepochs: int = 100,
+    shuffle_samples: bool = True,
+) -> TrainResult:
+    """Train module-by-module, freezing the rest (reference
+    `optimize_flow_sequentially`, SURVEY.md §2a row 5). Returns the flow with
+    every module updated and the concatenated loss history."""
+    if optimizer is None:
+        optimizer = optax.adam(1e-3)
+    hists = []
+    keys = jax.random.split(key, len(flow.transforms))
+    for i in range(len(flow.transforms)):
+        seq_loss = lambda f, x, _i=i: loss(_freeze_all_but(f, _i), x)
+        res = optimize_flow(
+            keys[i], samples, flow, optimizer,
+            loss=seq_loss, nbatches=nbatches, nepochs=nepochs,
+            shuffle_samples=shuffle_samples,
+        )
+        flow = res.result
+        hists.append(res.loss_hist)
+    return TrainResult(
+        result=flow,
+        optimizer_state=res.optimizer_state,
+        loss_hist=jnp.concatenate(hists),
+    )

@@ -1,0 +1,97 @@
+"""Core bijector invariants (SURVEY.md §4 assertion kind 1):
+round-trip exactness and ladj vs brute-force autodiff Jacobian."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuflows.flows import (
+    AffineCoupling,
+    Chain,
+    Standardize,
+    build_flow,
+    inverse,
+    rqs_coupling_module,
+    with_logabsdet_jacobian,
+)
+from tpuflows.util.shapes import alternating_mask
+
+
+def brute_force_ladj(f, x):
+    """log|det J| of f at a single point x via jax.jacfwd."""
+    jac = jax.jacfwd(lambda v: f(v))(x)
+    sign, logdet = jnp.linalg.slogdet(jac)
+    return logdet
+
+
+def make_flows(dim, key):
+    k1, k2, k3 = jax.random.split(key, 3)
+    samples = 2.0 + 0.5 * jax.random.normal(k1, (256, dim))
+    return {
+        "standardize": Standardize.from_samples(samples),
+        "affine_coupling": AffineCoupling.init(
+            k2, alternating_mask(dim, 0), hidden=(16, 16)
+        ),
+        "rqs_module": rqs_coupling_module(k3, dim, n_blocks=2, knots=6, hidden=(16,)),
+        "built": build_flow(samples, k3, n_blocks=2, knots=5, hidden=(16,)),
+    }
+
+
+@pytest.mark.parametrize("dim", [2, 5])
+@pytest.mark.parametrize(
+    "name", ["standardize", "affine_coupling", "rqs_module", "built"]
+)
+def test_roundtrip_and_ladj(dim, name):
+    key = jax.random.key(0)
+    flow = make_flows(dim, key)[name]
+    x = jax.random.normal(jax.random.key(1), (64, dim)) * 1.5
+
+    z, ladj_f = flow.forward_and_ladj(x)
+    x2, ladj_i = flow.inverse_and_ladj(z)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-3, rtol=1e-3)
+    # ladjs are exact negatives along the round trip
+    np.testing.assert_allclose(
+        np.asarray(ladj_f + ladj_i), 0.0, atol=1e-3
+    )
+
+    # ladj vs autodiff jacobian at a few points (the key spline-math oracle)
+    for i in range(4):
+        ladj_ad = brute_force_ladj(flow.forward, x[i])
+        np.testing.assert_allclose(
+            np.asarray(ladj_f[i]), np.asarray(ladj_ad), atol=1e-3, rtol=1e-3
+        )
+
+
+def test_inverse_wrapper_and_wlaj():
+    key = jax.random.key(2)
+    flow = make_flows(3, key)["rqs_module"]
+    x = jax.random.normal(jax.random.key(3), (8, 3))
+    inv = inverse(flow)
+    z, l1 = with_logabsdet_jacobian(flow, x)
+    x2, l2 = with_logabsdet_jacobian(inv, z)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-4)
+    assert inverse(inv) is flow
+
+
+def test_chain_append_prepend():
+    key = jax.random.key(4)
+    f = make_flows(4, key)
+    chain = Chain(transforms=(f["standardize"],))
+    grown = chain.append(*f["rqs_module"].transforms)
+    assert len(grown) == 3
+    grown2 = grown.prepend(f["affine_coupling"])
+    assert len(grown2) == 4
+    x = jax.random.normal(jax.random.key(5), (16, 4))
+    z, ladj = grown2.forward_and_ladj(x)
+    assert z.shape == x.shape and ladj.shape == (16,)
+
+
+def test_flow_is_pytree_and_jittable():
+    key = jax.random.key(6)
+    flow = make_flows(4, key)["built"]
+    leaves = jax.tree_util.tree_leaves(flow)
+    assert all(hasattr(l, "dtype") for l in leaves)
+    fwd = jax.jit(lambda f, x: f.forward_and_ladj(x))
+    x = jax.random.normal(jax.random.key(7), (8, 4))
+    z, ladj = fwd(flow, x)
+    assert z.shape == (8, 4)

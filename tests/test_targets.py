@@ -1,0 +1,95 @@
+"""Target densities: normalization sanity, exact-sampler moments vs analytic
+moments, and the hierarchical target's quadrature ground truth."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuflows.targets import (
+    CorrelatedGaussian,
+    GaussianMixture,
+    HierarchicalGaussian,
+    NealsFunnel,
+    StandardNormal,
+    logdensityof,
+)
+
+
+def mc_moments_check(target, n=200_000, seed=0, tol_sigma=4.0):
+    x = target.sample(jax.random.key(seed), n)
+    mean = np.asarray(jnp.mean(x, 0))
+    tmean = np.asarray(target.mean())
+    tvar = np.asarray(jnp.diagonal(target.cov()))
+    se = np.sqrt(tvar / n)
+    assert np.all(np.abs(mean - tmean) < tol_sigma * se + 1e-6), (
+        f"{type(target).__name__}: sample mean off"
+    )
+
+
+def test_standard_normal_logdensity():
+    t = StandardNormal(dim=3)
+    x = jnp.zeros((1, 3))
+    np.testing.assert_allclose(
+        float(logdensityof(t, x)[0]), -1.5 * np.log(2 * np.pi), rtol=1e-6
+    )
+    mc_moments_check(t)
+
+
+def test_correlated_gaussian_ar1():
+    t = CorrelatedGaussian.ar1(8, rho=0.7)
+    # log density matches dense-matrix evaluation
+    x = jax.random.normal(jax.random.key(1), (16, 8))
+    cov = np.asarray(t.cov(), np.float64)
+    inv = np.linalg.inv(cov)
+    _, logdet = np.linalg.slogdet(cov)
+    xd = np.asarray(x, np.float64)
+    expect = -0.5 * np.einsum("ni,ij,nj->n", xd, inv, xd) - 0.5 * (
+        logdet + 8 * np.log(2 * np.pi)
+    )
+    np.testing.assert_allclose(
+        np.asarray(t.log_density(x)), expect, rtol=2e-4, atol=2e-4
+    )
+    mc_moments_check(t)
+
+
+def test_mixture_bimodal():
+    t = GaussianMixture.bimodal(16, separation=4.0)
+    assert t.dim == 16
+    mc_moments_check(t)
+    # symmetry of the two modes
+    x = jnp.zeros((1, 16))
+    xa = x.at[0, 0].set(2.0)
+    xb = x.at[0, 0].set(-2.0)
+    np.testing.assert_allclose(
+        float(t.log_density(xa)[0]), float(t.log_density(xb)[0]), rtol=1e-6
+    )
+
+
+def test_funnel():
+    t = NealsFunnel(dim=8, sigma_v=3.0)
+    mc_moments_check(t, n=500_000)
+    # conditional structure: logp difference in x_1 at fixed v matches N(0, e^v)
+    v = 1.3
+    x1 = jnp.zeros((1, 8)).at[0, 0].set(v)
+    x2 = x1.at[0, 1].set(2.0)
+    diff = float((t.log_density(x2) - t.log_density(x1))[0])
+    np.testing.assert_allclose(diff, -0.5 * 4.0 * np.exp(-v), rtol=1e-5)
+
+
+def test_hierarchical_ground_truth_consistency():
+    t = HierarchicalGaussian.standard(dim=34)  # small-J for test speed
+    assert t.dim == 34
+    mean = np.asarray(t.mean())
+    cov = np.asarray(t.cov())
+    assert mean.shape == (34,) and cov.shape == (34, 34)
+    # exact sampler agrees with quadrature moments
+    x = t.sample(jax.random.key(2), 100_000)
+    smean = np.asarray(jnp.mean(x, 0))
+    svar = np.asarray(jnp.var(x, 0))
+    se = np.sqrt(np.diagonal(cov) / 100_000)
+    assert np.all(np.abs(smean - mean) < 5 * se + 5e-3)
+    np.testing.assert_allclose(svar, np.diagonal(cov), rtol=0.1, atol=5e-3)
+    # log_density is finite and peaked near the posterior mean
+    lp_mean = float(t.log_density(jnp.asarray(mean)[None])[0])
+    lp_far = float(t.log_density(jnp.asarray(mean)[None] + 10.0)[0])
+    assert np.isfinite(lp_mean) and lp_mean > lp_far
