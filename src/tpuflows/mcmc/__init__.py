@@ -1,0 +1,29 @@
+from tpuflows.mcmc.hmc import HMCInfo, PhasePoint, kinetic, leapfrog, make_hmc_kernel
+from tpuflows.mcmc.nuts import NUTSInfo, make_nuts_kernel
+from tpuflows.mcmc.dual_averaging import (
+    DualAveragingState,
+    WelfordState,
+    da_init,
+    da_step_size,
+    da_update,
+    welford_init,
+    welford_merge,
+    welford_update_batch,
+    welford_variance,
+)
+from tpuflows.mcmc.sample import MCMCResult, run_nuts
+from tpuflows.mcmc.preconditioned import (
+    flow_reparameterized,
+    to_data_space,
+    to_latent_space,
+)
+
+__all__ = [
+    "HMCInfo", "PhasePoint", "kinetic", "leapfrog", "make_hmc_kernel",
+    "NUTSInfo", "make_nuts_kernel",
+    "DualAveragingState", "WelfordState", "da_init", "da_step_size",
+    "da_update", "welford_init", "welford_merge", "welford_update_batch",
+    "welford_variance",
+    "MCMCResult", "run_nuts",
+    "flow_reparameterized", "to_data_space", "to_latent_space",
+]

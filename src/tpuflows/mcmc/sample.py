@@ -1,0 +1,122 @@
+"""MCMC driver: vmapped chains, pooled warmup adaptation, sampling scan.
+
+Reference parity (SURVEY.md §3.4): BAT.jl's `bat_sample(target, HamiltonianMC)`
+burn-in/tuning cycles. TPU design: chains are vmapped per chip; warmup and
+sampling are each ONE jitted lax.scan (zero host round-trips); dual-averaging
+and Welford mass-matrix statistics are pooled across the chain axis by plain
+means — and across hosts via `jax.lax.pmean` when `axis_name` is set (run
+under shard_map; SURVEY.md §7 hard part 5: pooling changes only throughput,
+never the algorithm).
+
+Warmup schedule (Stan-like three phases over num_warmup steps):
+  [0, 15%)        step-size only (identity metric untouched)
+  [15%, 75%)      step-size + Welford accumulation
+  at 75%          metric <- regularized Welford variance; DA re-centered
+  [75%, 100%)     step-size under the final metric
+Final eps = averaged dual-averaging iterate (log_eps_bar).
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpuflows.mcmc.dual_averaging import (
+    da_init,
+    da_step_size,
+    da_update,
+    welford_init,
+    welford_update_batch,
+    welford_variance,
+)
+from tpuflows.mcmc.nuts import NUTSInfo, make_nuts_kernel
+
+
+class MCMCResult(NamedTuple):
+    samples: jax.Array  # (num_samples, n_chains, d)
+    info: NUTSInfo  # stacked per-draw info
+    step_size: jax.Array
+    inv_mass: jax.Array
+
+
+def _pmean_if(axis_name, x):
+    if axis_name is None:
+        return x
+    return jax.lax.pmean(x, axis_name)
+
+
+def run_nuts(
+    key: jax.Array,
+    log_density: Callable,
+    init_positions: jax.Array,  # (n_chains, d)
+    num_warmup: int = 500,
+    num_samples: int = 500,
+    initial_step_size: float = 0.1,
+    max_depth: int = 8,
+    target_accept: float = 0.8,
+    adapt_mass: bool = True,
+    axis_name: Optional[str] = None,
+    jit: bool = True,
+) -> MCMCResult:
+    """Run vmapped NUTS chains with pooled warmup adaptation."""
+    n_chains, d = init_positions.shape
+    kernel = make_nuts_kernel(log_density, max_depth=max_depth)
+    vkernel = jax.vmap(kernel, in_axes=(0, 0, None, None))
+
+    metric_step = int(0.75 * num_warmup)
+    welford_start = int(0.15 * num_warmup)
+
+    def warmup_body(carry, inp):
+        step_idx, step_key = inp
+        q, da, wf, inv_mass = carry
+        keys = jax.random.split(step_key, n_chains)
+        eps = da_step_size(da)
+        q, info = vkernel(keys, q, eps, inv_mass)
+        accept = _pmean_if(axis_name, jnp.mean(info.accept_prob))
+        da = da_update(da, accept, target_accept=target_accept)
+        in_window = (step_idx >= welford_start) & (step_idx < metric_step)
+        wf_new = welford_update_batch(wf, q)
+        wf = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(in_window, new, old), wf_new, wf
+        )
+        # at the metric switch: install pooled variance, re-center DA
+        if adapt_mass:
+            switch = step_idx == metric_step
+            var = welford_variance(wf)
+            var = _pmean_if(axis_name, var)
+            inv_mass = jnp.where(switch, var, inv_mass)
+            da_reset = da_init(da_step_size(da))
+            da = jax.tree_util.tree_map(
+                lambda r, c: jnp.where(switch, r, c), da_reset, da
+            )
+        return (q, da, wf, inv_mass), None
+
+    def sample_body(carry, step_key):
+        q, eps, inv_mass = carry
+        keys = jax.random.split(step_key, n_chains)
+        q, info = vkernel(keys, q, eps, inv_mass)
+        return (q, eps, inv_mass), (q, info)
+
+    def run(key, q0):
+        k_warm, k_sample = jax.random.split(key)
+        da = da_init(initial_step_size)
+        wf = welford_init(d)
+        inv_mass = jnp.ones((d,), jnp.float32)
+        if num_warmup > 0:
+            warm_keys = jax.random.split(k_warm, num_warmup)
+            steps = jnp.arange(num_warmup)
+            (q0, da, wf, inv_mass), _ = jax.lax.scan(
+                warmup_body, (q0, da, wf, inv_mass), (steps, warm_keys)
+            )
+        eps = da_step_size(da, averaged=num_warmup > 0)
+        sample_keys = jax.random.split(k_sample, num_samples)
+        (_, _, _), (samples, info) = jax.lax.scan(
+            sample_body, (q0, eps, inv_mass), sample_keys
+        )
+        return MCMCResult(
+            samples=samples, info=info, step_size=eps, inv_mass=inv_mass
+        )
+
+    runner = jax.jit(run) if jit else run
+    return runner(key, init_positions)
