@@ -1,0 +1,200 @@
+"""Adaptive flow refinement: the train-sample-retrain loop.
+
+Reference parity (SURVEY.md §2b row 15, §3.5): BAT.jl's flow-adaptive
+transformed MCMC — the "adaptive" in AdaptiveFlows. Each round:
+
+  1. sample the target through the current flow (flow-preconditioned NUTS
+     in latent space; round 0 samples the raw target),
+  2. fit/refresh the flow on the pooled samples (`optimize_flow`, forward
+     KL), exactly the reference's interleaving of `optimize_flow` with
+     `bat_sample`,
+  3. stop when the cross-chain autocorrelation ESS of the latest draws
+     clears the threshold (config 3, BASELINE.json:9).
+
+TPU design: the outer loop is a host-side python loop (a handful of
+rounds; each round re-traces only when flow structure changes — it never
+does, params are donated pytrees), while everything inside a round (NUTS
+warmup+draws, the full training scan) is jitted whole. Flow-quality is
+additionally tracked per round as importance-weight ESS of flow draws
+against the target — the same number the SMC bridge uses.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpuflows.diagnostics import (
+    effective_sample_size,
+    importance_weight_ess,
+    split_rhat,
+)
+from tpuflows.flows.build import build_flow
+from tpuflows.flows.core import Bijector
+from tpuflows.flows.train import optimize_flow
+from tpuflows.mcmc.preconditioned import flow_reparameterized
+from tpuflows.mcmc.sample import run_nuts
+from tpuflows.targets.base import std_normal_logpdf
+
+
+class AdaptiveConfig(NamedTuple):
+    """Knobs for `adaptive_fit` (reference: keyword args on the BAT loop)."""
+
+    max_rounds: int = 5
+    ess_threshold: float = 400.0  # min cross-chain ESS over dims to stop
+    n_chains: int = 64
+    num_warmup: int = 300
+    num_samples: int = 300
+    max_depth: int = 8
+    target_accept: float = 0.8
+    # flow fit per round
+    flow_kind: str = "rqs"
+    n_blocks: int = 4
+    knots: int = 8
+    hidden: tuple = (64, 64)
+    train_epochs: int = 60
+    train_batches: int = 16
+    learning_rate: float = 1e-3
+    use_pallas: bool = False
+
+
+class AdaptiveRound(NamedTuple):
+    """Per-round record (the reference's loss_hist, plus sampler health)."""
+
+    min_ess: jax.Array
+    max_rhat: jax.Array
+    flow_is_ess: jax.Array  # importance-weight ESS of flow-as-proposal
+    accept_rate: jax.Array
+    divergence_rate: jax.Array
+    final_loss: jax.Array
+
+
+class AdaptiveResult(NamedTuple):
+    flow: Bijector
+    samples: jax.Array  # (n_draws, n_chains, d) data-space, last round
+    rounds: Sequence[AdaptiveRound]
+    n_rounds: int
+    converged: bool
+
+
+def _flow_is_ess(key, flow, log_density, dim, n=2048):
+    """Kish ESS of the flow as an importance proposal for the target."""
+    z = jax.random.normal(key, (n, dim), jnp.float32)
+    x, ladj = flow.inverse_and_ladj(z)
+    log_q = std_normal_logpdf(z) - ladj  # q(x) under the flow
+    log_w = log_density(x) - log_q
+    return importance_weight_ess(log_w) / n
+
+
+def adaptive_fit(
+    key: jax.Array,
+    log_density: Callable,
+    dim: int,
+    config: AdaptiveConfig = AdaptiveConfig(),
+    init_positions: Optional[jax.Array] = None,
+    flow: Optional[Bijector] = None,
+    verbose: bool = False,
+) -> AdaptiveResult:
+    """Run the adaptive loop until the ESS criterion or max_rounds.
+
+    `log_density` acts on (..., d). Returns the trained flow and the final
+    round's data-space samples.
+    """
+    cfg = config
+    k_init, key = jax.random.split(key)
+    if init_positions is None:
+        init_positions = 0.5 * jax.random.normal(
+            k_init, (cfg.n_chains, dim), jnp.float32
+        )
+
+    rounds = []
+    samples = None
+    converged = False
+    n_rounds = 0
+    opt = optax.adam(cfg.learning_rate)
+
+    for rnd in range(cfg.max_rounds):
+        key, k_sample, k_build, k_train, k_is = jax.random.split(key, 5)
+
+        # -- 1. sample (latent space once a flow exists) -------------------
+        if flow is None:
+            logp = log_density
+            q0 = init_positions
+        else:
+            logp = flow_reparameterized(log_density, flow)
+            # restart chains from the latent image of the previous draws
+            q0 = flow.forward(samples[-1]) if samples is not None else init_positions
+
+        res = run_nuts(
+            k_sample,
+            logp,
+            q0,
+            num_warmup=cfg.num_warmup,
+            num_samples=cfg.num_samples,
+            max_depth=cfg.max_depth,
+            target_accept=cfg.target_accept,
+        )
+        draws = res.samples  # (n_draws, n_chains, d), latent if flow else data
+        if flow is not None:
+            draws = flow.inverse(draws)
+        samples = draws
+
+        ess = effective_sample_size(draws)
+        rhat = split_rhat(draws)
+        min_ess = jnp.min(ess)
+        max_rhat = jnp.max(rhat)
+
+        # -- 2. retrain flow on pooled draws ------------------------------
+        flat = draws.reshape(-1, dim)
+        if flow is None:
+            flow = build_flow(
+                flat,
+                k_build,
+                kind=cfg.flow_kind,
+                n_blocks=cfg.n_blocks,
+                knots=cfg.knots,
+                hidden=cfg.hidden,
+                use_pallas=cfg.use_pallas,
+            )
+        train = optimize_flow(
+            k_train,
+            flat,
+            flow,
+            opt,
+            nbatches=cfg.train_batches,
+            nepochs=cfg.train_epochs,
+        )
+        flow = train.result
+
+        record = AdaptiveRound(
+            min_ess=min_ess,
+            max_rhat=max_rhat,
+            flow_is_ess=_flow_is_ess(k_is, flow, log_density, dim),
+            accept_rate=jnp.mean(res.info.accept_prob),
+            divergence_rate=jnp.mean(res.info.diverging.astype(jnp.float32)),
+            final_loss=train.loss_hist[-1],
+        )
+        rounds.append(record)
+        n_rounds = rnd + 1
+        if verbose:
+            print(
+                f"[adaptive round {rnd}] min_ess={float(min_ess):.1f} "
+                f"max_rhat={float(max_rhat):.4f} "
+                f"flow_is_ess={float(record.flow_is_ess):.3f} "
+                f"accept={float(record.accept_rate):.3f}"
+            )
+
+        # -- 3. stop on ESS (evaluated on the post-flow round's draws) -----
+        if float(min_ess) >= cfg.ess_threshold:
+            converged = True
+            break
+
+    return AdaptiveResult(
+        flow=flow,
+        samples=samples,
+        rounds=rounds,
+        n_rounds=n_rounds,
+        converged=converged,
+    )
