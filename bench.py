@@ -24,6 +24,10 @@ import jax
 import jax.numpy as jnp
 import optax
 
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+
 
 def main():
     from tpuflows.diagnostics import effective_sample_size, split_rhat
@@ -50,7 +54,10 @@ def main():
     vi = fit_vi(jax.random.key(3), target.log_density, flow0, dim,
                 optimizer=optax.adam(2e-3), batch_size=1024, nsteps=1500)
     flow = vi.flow
-    jax.block_until_ready(jax.tree_util.tree_leaves(flow)[0])
+    # NOTE: host readback, not block_until_ready — the axon tunnel's
+    # block_until_ready returns before device completion; only fetching a
+    # value forces real execution (verified against matmul rooflines).
+    float(jnp.sum(jax.tree_util.tree_leaves(flow)[0]))
     train_time = time.perf_counter() - t0
 
     # ---- 2. flow-preconditioned NUTS, 1024 chains, one chip --------------
@@ -60,7 +67,7 @@ def main():
     t0 = time.perf_counter()
     res = run_nuts(jax.random.key(5), logp, q0, num_warmup=num_warmup,
                    num_samples=num_samples, max_depth=8, target_accept=0.8)
-    jax.block_until_ready(res.samples)
+    float(jnp.sum(res.samples))  # host readback (see NOTE above)
     sample_time = time.perf_counter() - t0
 
     # ---- 3. quality + metric --------------------------------------------

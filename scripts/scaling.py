@@ -1,0 +1,85 @@
+"""Weak-scaling harness (BASELINE.json:5: samples/s at 1 chip / 1 host /
+N hosts; efficiency target >= 0.8 from 1 to 4 hosts).
+
+Weak scaling: chains-per-device held fixed while the mesh grows, so ideal
+scaling doubles samples/s per doubling. Run on a pod slice after
+`init_distributed()`; on a single machine with virtual CPU devices
+(XLA_FLAGS=--xla_force_host_platform_device_count=8) the numbers validate
+the CODE PATH (collectives, sharding) but not true throughput — virtual
+devices share physical cores.
+
+Usage:
+  python scripts/scaling.py [--devices 1,2,4,8] [--chains-per-device 32]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", "src"))
+
+import jax
+import jax.numpy as jnp
+
+
+def measure(n_devices: int, chains_per_device: int, dim: int,
+            num_warmup: int, num_samples: int) -> dict:
+    from tpuflows.dist import run_nuts_sharded, worker_mesh
+    from tpuflows.targets import NealsFunnel
+
+    mesh = worker_mesh(n_devices)
+    n_chains = chains_per_device * n_devices
+    target = NealsFunnel(dim=dim)
+    q0 = jax.random.normal(jax.random.key(0), (n_chains, dim)) * 0.5
+
+    t0 = time.perf_counter()
+    res = run_nuts_sharded(jax.random.key(1), target.log_density, q0, mesh,
+                           num_warmup=num_warmup, num_samples=num_samples)
+    float(jnp.sum(res.samples))  # host readback forces device completion
+    dt = time.perf_counter() - t0
+    sps = n_chains * num_samples / dt
+    return {"n_devices": n_devices, "n_chains": n_chains,
+            "wall_s": round(dt, 2), "samples_per_s": round(sps, 1)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", default=None,
+                    help="comma-separated device counts (default: 1..all)")
+    ap.add_argument("--chains-per-device", type=int, default=32)
+    ap.add_argument("--dim", type=int, default=16)
+    ap.add_argument("--num-warmup", type=int, default=100)
+    ap.add_argument("--num-samples", type=int, default=200)
+    args = ap.parse_args()
+
+    n_avail = len(jax.devices())
+    if args.devices:
+        counts = [int(c) for c in args.devices.split(",")]
+    else:
+        counts, c = [], 1
+        while c <= n_avail:
+            counts.append(c)
+            c *= 2
+
+    rows = []
+    for n in counts:
+        if n > n_avail:
+            break
+        row = measure(n, args.chains_per_device, args.dim,
+                      args.num_warmup, args.num_samples)
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    if len(rows) > 1:
+        base = rows[0]["samples_per_s"] / rows[0]["n_devices"]
+        for row in rows[1:]:
+            eff = row["samples_per_s"] / row["n_devices"] / base
+            print(json.dumps({"n_devices": row["n_devices"],
+                              "weak_scaling_efficiency": round(eff, 3)}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -80,12 +80,13 @@ def make_train_step(
     """
 
     def step(flow, opt_state, batch):
-        loss, grads = jax.value_and_grad(loss_fn)(flow, batch)
-        grads = _pmean_if(axis_name, grads)
-        loss = _pmean_if(axis_name, loss)
-        updates, opt_state = optimizer.update(grads, opt_state, flow)
-        flow = optax.apply_updates(flow, updates)
-        return flow, opt_state, loss
+        with jax.named_scope("train_step"):
+            loss, grads = jax.value_and_grad(loss_fn)(flow, batch)
+            grads = _pmean_if(axis_name, grads)
+            loss = _pmean_if(axis_name, loss)
+            updates, opt_state = optimizer.update(grads, opt_state, flow)
+            flow = optax.apply_updates(flow, updates)
+            return flow, opt_state, loss
 
     return step
 

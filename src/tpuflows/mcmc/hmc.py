@@ -39,11 +39,12 @@ def leapfrog(
     inv_mass: jax.Array,
 ) -> PhasePoint:
     """One leapfrog step (velocity Verlet). eps may be signed (direction)."""
-    p_half = z.p + 0.5 * eps * z.grad
-    q_new = z.q + eps * p_half * inv_mass
-    logp_new, grad_new = logp_and_grad(q_new)
-    p_new = p_half + 0.5 * eps * grad_new
-    return PhasePoint(q=q_new, p=p_new, logp=logp_new, grad=grad_new)
+    with jax.named_scope("leapfrog"):
+        p_half = z.p + 0.5 * eps * z.grad
+        q_new = z.q + eps * p_half * inv_mass
+        logp_new, grad_new = logp_and_grad(q_new)
+        p_new = p_half + 0.5 * eps * grad_new
+        return PhasePoint(q=q_new, p=p_new, logp=logp_new, grad=grad_new)
 
 
 class HMCInfo(NamedTuple):

@@ -99,6 +99,10 @@ def run_nuts(
         return (q, eps, inv_mass), (q, info)
 
     def run(key, q0):
+        if axis_name is not None:
+            # decorrelate shards: same key enters every shard under
+            # shard_map — fold in the worker index
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         k_warm, k_sample = jax.random.split(key)
         da = da_init(initial_step_size)
         wf = welford_init(d)

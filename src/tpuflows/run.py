@@ -1,0 +1,145 @@
+"""Config-file runner: `python -m tpuflows.run configs/c4_funnel.json`.
+
+The thin CLI the reference never had (SURVEY.md §7 non-goals allow "a thin
+config-file runner"). Executes one RunConfig task end-to-end, emits
+structured JSONL metrics on stdout (SURVEY.md §5 observability), and
+writes checkpoints when `output_dir` is set.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def _emit(record: dict) -> None:
+    if jax.process_index() == 0:
+        print(json.dumps(record), flush=True)
+
+
+def run(cfg) -> dict:
+    from tpuflows.adaptive import adaptive_fit
+    from tpuflows.diagnostics import effective_sample_size, split_rhat
+    from tpuflows.flows import build_flow, optimize_flow
+    from tpuflows.io import save_pytree
+    from tpuflows.mcmc import run_nuts
+    from tpuflows.mcmc.preconditioned import flow_reparameterized
+    from tpuflows.smc import run_smc
+    from tpuflows.vi import fit_vi
+
+    key = jax.random.key(cfg.seed)
+    target = cfg.target.build()
+    dim = cfg.target.dim
+    k_data, k_build, k_task = jax.random.split(key, 3)
+    t0 = time.perf_counter()
+
+    if cfg.task == "fit":
+        samples = target.sample(k_data, cfg.train.n_fit_samples)
+        flow = build_flow(samples, k_build, kind=cfg.flow.kind,
+                          n_blocks=cfg.flow.n_blocks, knots=cfg.flow.knots,
+                          hidden=cfg.flow.hidden,
+                          use_pallas=cfg.flow.use_pallas)
+        res = optimize_flow(k_task, samples, flow,
+                            optax.adam(cfg.train.learning_rate),
+                            nbatches=cfg.train.nbatches,
+                            nepochs=cfg.train.nepochs)
+        out = {"final_loss": float(res.loss_hist[-1]),
+               "initial_loss": float(res.loss_hist[0])}
+        state = res.result
+    elif cfg.task == "vi":
+        init = jax.random.normal(k_data, (cfg.train.batch_size, dim))
+        flow = build_flow(init, k_build, kind=cfg.flow.kind,
+                          n_blocks=cfg.flow.n_blocks, knots=cfg.flow.knots,
+                          hidden=cfg.flow.hidden,
+                          use_pallas=cfg.flow.use_pallas)
+        res = fit_vi(k_task, target.log_density, flow, dim,
+                     optimizer=optax.adam(cfg.train.learning_rate),
+                     batch_size=cfg.train.batch_size,
+                     nsteps=cfg.train.nsteps)
+        out = {"final_elbo": float(res.final_elbo)}
+        state = res.flow
+    elif cfg.task == "adaptive":
+        acfg = cfg.adaptive.to_adaptive_config(cfg.flow)
+        res = adaptive_fit(k_task, target.log_density, dim, acfg, verbose=True)
+        out = {"n_rounds": res.n_rounds, "converged": res.converged,
+               "min_ess": float(res.rounds[-1].min_ess),
+               "flow_is_ess": float(res.rounds[-1].flow_is_ess)}
+        state = res.flow
+    elif cfg.task == "nuts":
+        q0 = jax.random.normal(k_data, (cfg.nuts.n_chains, dim))
+        if cfg.nuts.preconditioned:
+            init = jax.random.normal(k_build, (2048, dim))
+            flow = build_flow(init, k_build, kind=cfg.flow.kind,
+                              n_blocks=cfg.flow.n_blocks,
+                              knots=cfg.flow.knots, hidden=cfg.flow.hidden,
+                              use_pallas=cfg.flow.use_pallas)
+            vres = fit_vi(k_task, target.log_density, flow, dim,
+                          batch_size=cfg.train.batch_size,
+                          nsteps=cfg.train.nsteps)
+            flow = vres.flow
+            logp = flow_reparameterized(target.log_density, flow)
+        else:
+            flow = None
+            logp = target.log_density
+        res = run_nuts(k_task, logp, q0, num_warmup=cfg.nuts.num_warmup,
+                       num_samples=cfg.nuts.num_samples,
+                       max_depth=cfg.nuts.max_depth,
+                       target_accept=cfg.nuts.target_accept)
+        x = res.samples
+        if flow is not None:
+            x = flow.inverse(x.reshape(-1, dim)).reshape(x.shape)
+        ess = effective_sample_size(x)
+        out = {"min_ess": float(jnp.min(ess)),
+               "max_rhat": float(jnp.max(split_rhat(x))),
+               "step_size": float(res.step_size),
+               "divergence_rate": float(jnp.mean(
+                   res.info.diverging.astype(jnp.float32)))}
+        state = x
+    elif cfg.task == "smc":
+        init = jax.random.normal(k_data, (2048, dim))
+        flow = build_flow(init, k_build, kind=cfg.flow.kind,
+                          n_blocks=cfg.flow.n_blocks, knots=cfg.flow.knots,
+                          hidden=cfg.flow.hidden,
+                          use_pallas=cfg.flow.use_pallas)
+        mesh = None
+        if cfg.smc.sharded:
+            from tpuflows.dist import worker_mesh
+
+            mesh = worker_mesh()
+        res = run_smc(k_task, target.log_density, flow, dim,
+                      cfg.smc.to_smc_config(), mesh=mesh, verbose=True)
+        out = {"n_stages": res.n_stages, "log_z": float(res.log_z),
+               "final_beta": float(res.betas[-1]),
+               "mean_accept": float(jnp.mean(res.accept_hist))}
+        state = res.particles
+    else:
+        raise ValueError(f"unknown task: {cfg.task!r}")
+
+    out.update({"name": cfg.name, "task": cfg.task,
+                "wall_s": round(time.perf_counter() - t0, 2)})
+    if cfg.output_dir:
+        save_pytree(f"{cfg.output_dir}/{cfg.name}_state", state)
+    _emit(out)
+    return out
+
+
+def main(argv=None) -> None:
+    from tpuflows.config import RunConfig
+    from tpuflows.dist import init_distributed
+
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print("usage: python -m tpuflows.run <config.json> [...]",
+              file=sys.stderr)
+        raise SystemExit(2)
+    init_distributed()
+    for path in argv:
+        run(RunConfig.from_json(path))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,279 @@
+"""Annealed SMC with flow bridges.
+
+Reference parity (SURVEY.md §2b row 16, §3.5): BAT.jl's bridge/partition
+machinery + the literature recipe (PAPERS.md:9 — adaptive HMC tuning
+within SMC). Path: geometric bridge between the flow's variational density
+q0 and the target p,
+
+    log p_beta(x) = (1 - beta) log q0(x) + beta log p(x),
+
+with beta chosen adaptively by incremental-ESS bisection (annealing.py),
+systematic resampling under an ESS trigger (resample.py), HMC mutation
+moves whose step size adapts from pooled acceptance, and an optional
+flow-bridge refresh: retraining the flow on the current particles and
+mutating in its latent space (flow-preconditioned HMC), the north star's
+"flows as SMC proposal/annealing bridges" (BASELINE.json:5).
+
+TPU design: each temperature stage is ONE jitted function (reweight ->
+next_beta -> resample -> m HMC mutations) with beta/eps as traced scalars
+— the host loop never retraces; particles stay device-resident. Under
+shard_map (tpuflows.dist.smc) the same stage runs sharded with collective
+ESS/logZ reductions and a distributed resampler. Config 5
+(BASELINE.json:11): 256-d hierarchical posterior, 64k particles.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpuflows.dist.collectives import (
+    fold_in_axis_index,
+    kish_ess_g,
+    logsumexp_g,
+    pmean,
+)
+from tpuflows.flows.core import Bijector
+from tpuflows.flows.train import optimize_flow
+from tpuflows.mcmc.hmc import PhasePoint, kinetic, leapfrog
+from tpuflows.smc.annealing import next_beta
+from tpuflows.smc.resample import resample, systematic_indices
+from tpuflows.targets.base import std_normal_logpdf
+
+
+class SMCConfig(NamedTuple):
+    n_particles: int = 4096
+    target_rel_ess: float = 0.5  # per-stage incremental ESS target
+    resample_threshold: float = 0.5  # resample when rel ESS drops below
+    n_mutation_steps: int = 5  # HMC transitions per stage
+    n_leapfrog: int = 5
+    initial_step_size: float = 0.2
+    target_accept: float = 0.65
+    step_adapt_rate: float = 0.5
+    max_stages: int = 200
+    latent_mutation: bool = True  # mutate in flow latent space
+    retrain_every: int = 0  # 0 = never retrain the bridge flow
+    retrain_epochs: int = 20
+    retrain_batches: int = 8
+    retrain_lr: float = 1e-3
+
+
+class SMCResult(NamedTuple):
+    particles: jax.Array  # (n, d) equally-weighted draws from p (post-final-resample)
+    log_weights: jax.Array  # (n,) residual log weights (0 after resample)
+    log_z: jax.Array  # log normalizing-constant estimate log(Z_p / Z_q0)
+    betas: jax.Array  # (n_stages,) realized temperature ladder
+    ess_hist: jax.Array  # (n_stages,) rel ESS before resampling decision
+    accept_hist: jax.Array  # (n_stages,) mean mutation acceptance
+    n_stages: int
+    flow: Bijector
+
+
+def _flow_log_q(flow, x):
+    z, ladj = flow.forward_and_ladj(x)
+    return std_normal_logpdf(z) + ladj
+
+
+def _hmc_sweep(key, q, logp_fn, eps, n_steps, n_leapfrog):
+    """n_steps fixed-length HMC transitions on a single particle (vmapped
+    by the caller). Returns (q_new, mean_accept)."""
+    logp_and_grad = jax.value_and_grad(logp_fn)
+
+    def one_step(carry, k):
+        q = carry
+        k_mom, k_acc = jax.random.split(k)
+        logp0, grad0 = logp_and_grad(q)
+        p0 = jax.random.normal(k_mom, q.shape, q.dtype)
+        z0 = PhasePoint(q=q, p=p0, logp=logp0, grad=grad0)
+        h0 = -logp0 + kinetic(p0, jnp.ones_like(q))
+
+        def body(z, _):
+            return leapfrog(logp_and_grad, z, eps, jnp.ones_like(q)), None
+
+        z1, _ = jax.lax.scan(body, z0, None, length=n_leapfrog)
+        h1 = -z1.logp + kinetic(z1.p, jnp.ones_like(q))
+        dh = jnp.where(jnp.isfinite(h1 - h0), h1 - h0, jnp.inf)
+        acc_p = jnp.minimum(1.0, jnp.exp(-dh))
+        accepted = jax.random.uniform(k_acc) < acc_p
+        q = jnp.where(accepted, z1.q, q)
+        return q, acc_p
+
+    keys = jax.random.split(key, n_steps)
+    q, accs = jax.lax.scan(one_step, q, keys)
+    return q, jnp.mean(accs)
+
+
+def _make_stage(log_density, cfg: SMCConfig, n_global: int, axis_name=None):
+    """Build the jitted per-temperature stage. With `axis_name` set the
+    SAME function runs inside shard_map with global reductions and the
+    distributed resampler — the algorithm is shard-count independent."""
+
+    def tempered(xi, beta, flow):
+        return (1.0 - beta) * _flow_log_q(flow, xi) + beta * log_density(xi)
+
+    def stage(key, x, log_w, log_q0_x, beta, eps, flow):
+        n_local = x.shape[0]
+        k_resample, k_mutate = jax.random.split(key)
+        k_mutate = fold_in_axis_index(k_mutate, axis_name)
+        log_ratio = log_density(x) - log_q0_x
+        beta_new = next_beta(beta, log_ratio, cfg.target_rel_ess,
+                             axis_name=axis_name, n_global=n_global)
+        inc = (beta_new - beta) * log_ratio
+
+        # logZ increment under current normalized weights:
+        # log( sum_i wnorm_i exp(inc_i) ) with wnorm from the global sum
+        log_z_inc = logsumexp_g(log_w + inc, axis_name) - \
+            logsumexp_g(log_w, axis_name)
+
+        log_w = log_w + inc
+        rel_ess = kish_ess_g(log_w, axis_name) / n_global
+        do_resample = rel_ess < cfg.resample_threshold
+        if axis_name is None:
+            idx = systematic_indices(k_resample, log_w)
+            x_rs = jnp.take(x, idx, axis=0)
+            lq_rs = jnp.take(log_q0_x, idx, axis=0)
+        else:
+            from tpuflows.dist.resample import resample_sharded
+
+            (x_rs, lq_rs), _ = resample_sharded(
+                k_resample, (x, log_q0_x), log_w, axis_name
+            )
+        x = jnp.where(do_resample, x_rs, x)
+        log_q0_x = jnp.where(do_resample, lq_rs, log_q0_x)
+        log_w = jnp.where(do_resample, jnp.zeros_like(log_w), log_w)
+
+        # mutation at beta_new
+        if cfg.latent_mutation:
+            def latent_logp(zi):
+                xi, ladj = flow.inverse_and_ladj(zi)
+                return tempered(xi, beta_new, flow) + ladj
+
+            z = flow.forward(x)
+            keys = jax.random.split(k_mutate, n_local)
+            z, acc = jax.vmap(
+                lambda k, zi: _hmc_sweep(k, zi, latent_logp, eps,
+                                         cfg.n_mutation_steps, cfg.n_leapfrog)
+            )(keys, z)
+            x = flow.inverse(z)
+        else:
+            keys = jax.random.split(k_mutate, n_local)
+            x, acc = jax.vmap(
+                lambda k, xi: _hmc_sweep(
+                    k, xi, lambda q: tempered(q, beta_new, flow), eps,
+                    cfg.n_mutation_steps, cfg.n_leapfrog)
+            )(keys, x)
+        # q0 density must track the (possibly moved) particles
+        log_q0_x = _flow_log_q(flow, x)
+
+        mean_acc = pmean(jnp.mean(acc), axis_name)
+        eps = eps * jnp.exp(cfg.step_adapt_rate * (mean_acc - cfg.target_accept))
+        return x, log_w, log_q0_x, beta_new, eps, log_z_inc, rel_ess, mean_acc
+
+    return stage
+
+
+def run_smc(
+    key: jax.Array,
+    log_density: Callable,
+    flow: Bijector,
+    dim: int,
+    config: SMCConfig = SMCConfig(),
+    mesh=None,
+    verbose: bool = False,
+) -> SMCResult:
+    """Annealed SMC from the flow's variational density to `log_density`.
+
+    The flow plays three roles: exact initial sampler (q0 draws), bridge
+    endpoint density (log q0), and mutation preconditioner (HMC in latent
+    space when `latent_mutation`). With `mesh` (1-D worker mesh) the
+    particle axis is sharded and every stage runs under shard_map with
+    collective reductions + the distributed resampler (config 5,
+    BASELINE.json:11).
+    """
+    cfg = config
+    n = cfg.n_particles
+    k_init, key = jax.random.split(key)
+
+    z0 = jax.random.normal(k_init, (n, dim), jnp.float32)
+    x, ladj0 = flow.inverse_and_ladj(z0)
+    # log q0 at init, computed from the draw itself (no forward pass)
+    log_q0_x = std_normal_logpdf(z0) - ladj0
+
+    if mesh is None:
+        stage = jax.jit(_make_stage(log_density, cfg, n_global=n))
+    else:
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        from tpuflows.dist.mesh import WORKERS, replicated, row_sharded
+
+        n_dev = len(mesh.devices.flat)
+        if n % n_dev != 0:
+            raise ValueError(f"{n} particles not divisible by {n_dev} devices")
+        x = jax.device_put(x, row_sharded(mesh))
+        log_q0_x = jax.device_put(log_q0_x, row_sharded(mesh))
+        flow = jax.device_put(flow, replicated(mesh))
+        body = _make_stage(log_density, cfg, n_global=n, axis_name=WORKERS)
+        stage = jax.jit(
+            shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(), P(WORKERS), P(WORKERS), P(WORKERS), P(), P(),
+                          P()),
+                out_specs=(P(WORKERS), P(WORKERS), P(WORKERS), P(), P(), P(),
+                           P(), P()),
+                check_vma=False,
+            )
+        )
+
+    log_w = jnp.zeros((n,), jnp.float32)
+    log_z = jnp.asarray(0.0, jnp.float32)
+    beta = jnp.asarray(0.0, jnp.float32)
+    eps = jnp.asarray(cfg.initial_step_size, jnp.float32)
+    betas, ess_hist, accept_hist = [], [], []
+    opt = optax.adam(cfg.retrain_lr)
+
+    for stage_idx in range(cfg.max_stages):
+        key, k_stage, k_train = jax.random.split(key, 3)
+        (x, log_w, log_q0_x, beta, eps, log_z_inc, rel_ess, mean_acc) = stage(
+            k_stage, x, log_w, log_q0_x, beta, eps, flow
+        )
+        log_z = log_z + log_z_inc
+        betas.append(beta)
+        ess_hist.append(rel_ess)
+        accept_hist.append(mean_acc)
+        if verbose:
+            print(
+                f"[smc stage {stage_idx}] beta={float(beta):.4f} "
+                f"rel_ess={float(rel_ess):.3f} accept={float(mean_acc):.3f} "
+                f"eps={float(eps):.4f}"
+            )
+        # flow-bridge refresh: refit the flow to the current particles (the
+        # bridge endpoint q0 stays frozen; the refreshed flow improves the
+        # mutation preconditioning only, keeping the path valid)
+        if cfg.retrain_every and (stage_idx + 1) % cfg.retrain_every == 0 \
+                and float(beta) < 1.0:
+            res = optimize_flow(
+                k_train, x, flow, opt,
+                nbatches=cfg.retrain_batches, nepochs=cfg.retrain_epochs,
+            )
+            flow = res.result
+        if float(beta) >= 1.0:
+            break
+
+    # final resample to equal weights
+    key, k_final = jax.random.split(key)
+    x, _ = resample(k_final, x, log_w)
+
+    return SMCResult(
+        particles=x,
+        log_weights=jnp.zeros((n,), jnp.float32),
+        log_z=log_z,
+        betas=jnp.stack(betas),
+        ess_hist=jnp.stack(ess_hist),
+        accept_hist=jnp.stack(accept_hist),
+        n_stages=len(betas),
+        flow=flow,
+    )
