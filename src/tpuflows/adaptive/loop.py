@@ -95,12 +95,17 @@ def adaptive_fit(
     config: AdaptiveConfig = AdaptiveConfig(),
     init_positions: Optional[jax.Array] = None,
     flow: Optional[Bijector] = None,
+    checkpoint_dir: Optional[str] = None,
     verbose: bool = False,
 ) -> AdaptiveResult:
     """Run the adaptive loop until the ESS criterion or max_rounds.
 
     `log_density` acts on (..., d). Returns the trained flow and the final
-    round's data-space samples.
+    round's data-space samples. With `checkpoint_dir`, every completed
+    round is checkpointed (flow, samples, key, round records) and a fresh
+    call resumes from the latest checkpoint — the restartability story of
+    SURVEY.md §5 (failure detection/elastic recovery): on a multi-host
+    failure, restart the job and the loop continues from the last round.
     """
     cfg = config
     k_init, key = jax.random.split(key)
@@ -113,9 +118,25 @@ def adaptive_fit(
     samples = None
     converged = False
     n_rounds = 0
+    start_round = 0
     opt = optax.adam(cfg.learning_rate)
 
-    for rnd in range(cfg.max_rounds):
+    if checkpoint_dir is not None:
+        from tpuflows.io import latest_checkpoint, load_pytree
+
+        latest = latest_checkpoint(checkpoint_dir, prefix="adaptive_")
+        if latest is not None:
+            state = load_pytree(latest)
+            flow = state["flow"]
+            samples = state["samples"]
+            key = state["key"]
+            rounds = [AdaptiveRound(*r) for r in state["rounds"]]
+            start_round = int(state["next_round"])
+            n_rounds = start_round
+            if verbose:
+                print(f"[adaptive] resumed at round {start_round}")
+
+    for rnd in range(start_round, cfg.max_rounds):
         key, k_sample, k_build, k_train, k_is = jax.random.split(key, 5)
 
         # -- 1. sample (latent space once a flow exists) -------------------
@@ -178,6 +199,19 @@ def adaptive_fit(
         )
         rounds.append(record)
         n_rounds = rnd + 1
+        if checkpoint_dir is not None:
+            from tpuflows.io import save_pytree
+
+            save_pytree(
+                f"{checkpoint_dir}/adaptive_{rnd + 1}",
+                {
+                    "flow": flow,
+                    "samples": samples,
+                    "key": key,
+                    "rounds": [tuple(r) for r in rounds],
+                    "next_round": jnp.asarray(rnd + 1),
+                },
+            )
         if verbose:
             print(
                 f"[adaptive round {rnd}] min_ess={float(min_ess):.1f} "
