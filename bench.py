@@ -65,8 +65,11 @@ def main():
     q0 = jax.random.normal(jax.random.key(4), (n_chains, dim), jnp.float32)
 
     t0 = time.perf_counter()
+    # chunked: bounds single-program runtime (the tunnel worker dies on
+    # multi-minute programs); results identical to the unchunked run
     res = run_nuts(jax.random.key(5), logp, q0, num_warmup=num_warmup,
-                   num_samples=num_samples, max_depth=8, target_accept=0.8)
+                   num_samples=num_samples, max_depth=8, target_accept=0.8,
+                   chunk_size=32)
     float(jnp.sum(res.samples))  # host readback (see NOTE above)
     sample_time = time.perf_counter() - t0
 

@@ -58,8 +58,15 @@ def run_nuts(
     adapt_mass: bool = True,
     axis_name: Optional[str] = None,
     jit: bool = True,
+    chunk_size: Optional[int] = None,
 ) -> MCMCResult:
-    """Run vmapped NUTS chains with pooled warmup adaptation."""
+    """Run vmapped NUTS chains with pooled warmup adaptation.
+
+    `chunk_size` splits warmup/sampling into several device programs of at
+    most that many steps, carrying chain/adaptation state between them.
+    Use for long runs: bounds single-program runtime (the axon TPU tunnel
+    kills programs running many minutes) and keeps results IDENTICAL to
+    the unchunked run (same keys, same scan bodies)."""
     n_chains, d = init_positions.shape
     kernel = make_nuts_kernel(log_density, max_depth=max_depth)
     vkernel = jax.vmap(kernel, in_axes=(0, 0, None, None))
@@ -122,5 +129,43 @@ def run_nuts(
             samples=samples, info=info, step_size=eps, inv_mass=inv_mass
         )
 
-    runner = jax.jit(run) if jit else run
-    return runner(key, init_positions)
+    if chunk_size is None:
+        runner = jax.jit(run) if jit else run
+        return runner(key, init_positions)
+
+    # ---- chunked execution: same bodies/keys, bounded program length ----
+    warm_chunk = jax.jit(lambda carry, steps, keys: jax.lax.scan(
+        warmup_body, carry, (steps, keys)
+    )[0])
+    sample_chunk = jax.jit(lambda carry, keys: jax.lax.scan(
+        sample_body, carry, keys
+    ))
+
+    k_warm, k_sample = jax.random.split(key)
+    carry = (
+        init_positions,
+        da_init(initial_step_size),
+        welford_init(d),
+        jnp.ones((d,), jnp.float32),
+    )
+    if num_warmup > 0:
+        warm_keys = jax.random.split(k_warm, num_warmup)
+        steps = jnp.arange(num_warmup)
+        for lo in range(0, num_warmup, chunk_size):
+            hi = min(lo + chunk_size, num_warmup)
+            carry = warm_chunk(carry, steps[lo:hi], warm_keys[lo:hi])
+    q0, da, wf, inv_mass = carry
+    eps = da_step_size(da, averaged=num_warmup > 0)
+    sample_keys = jax.random.split(k_sample, num_samples)
+    scarry = (q0, eps, inv_mass)
+    outs = []
+    for lo in range(0, num_samples, chunk_size):
+        hi = min(lo + chunk_size, num_samples)
+        scarry, out = sample_chunk(scarry, sample_keys[lo:hi])
+        outs.append(out)
+    samples = jnp.concatenate([o[0] for o in outs], axis=0)
+    info = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *[o[1] for o in outs]
+    )
+    return MCMCResult(samples=samples, info=info, step_size=eps,
+                      inv_mass=inv_mass)

@@ -51,7 +51,7 @@ class SMCConfig(NamedTuple):
     n_leapfrog: int = 5
     initial_step_size: float = 0.2
     target_accept: float = 0.65
-    step_adapt_rate: float = 0.5
+    step_adapt_rate: float = 1.0
     max_stages: int = 200
     latent_mutation: bool = True  # mutate in flow latent space
     retrain_every: int = 0  # 0 = never retrain the bridge flow
@@ -76,24 +76,24 @@ def _flow_log_q(flow, x):
     return std_normal_logpdf(z) + ladj
 
 
-def _hmc_sweep(key, q, logp_fn, eps, n_steps, n_leapfrog):
+def _hmc_sweep(key, q, logp_fn, eps, inv_mass, n_steps, n_leapfrog):
     """n_steps fixed-length HMC transitions on a single particle (vmapped
-    by the caller). Returns (q_new, mean_accept)."""
+    by the caller) under a diagonal metric. Returns (q_new, mean_accept)."""
     logp_and_grad = jax.value_and_grad(logp_fn)
 
     def one_step(carry, k):
         q = carry
         k_mom, k_acc = jax.random.split(k)
         logp0, grad0 = logp_and_grad(q)
-        p0 = jax.random.normal(k_mom, q.shape, q.dtype)
+        p0 = jax.random.normal(k_mom, q.shape, q.dtype) / jnp.sqrt(inv_mass)
         z0 = PhasePoint(q=q, p=p0, logp=logp0, grad=grad0)
-        h0 = -logp0 + kinetic(p0, jnp.ones_like(q))
+        h0 = -logp0 + kinetic(p0, inv_mass)
 
         def body(z, _):
-            return leapfrog(logp_and_grad, z, eps, jnp.ones_like(q)), None
+            return leapfrog(logp_and_grad, z, eps, inv_mass), None
 
         z1, _ = jax.lax.scan(body, z0, None, length=n_leapfrog)
-        h1 = -z1.logp + kinetic(z1.p, jnp.ones_like(q))
+        h1 = -z1.logp + kinetic(z1.p, inv_mass)
         dh = jnp.where(jnp.isfinite(h1 - h0), h1 - h0, jnp.inf)
         acc_p = jnp.minimum(1.0, jnp.exp(-dh))
         accepted = jax.random.uniform(k_acc) < acc_p
@@ -144,31 +144,51 @@ def _make_stage(log_density, cfg: SMCConfig, n_global: int, axis_name=None):
         log_q0_x = jnp.where(do_resample, lq_rs, log_q0_x)
         log_w = jnp.where(do_resample, jnp.zeros_like(log_w), log_w)
 
-        # mutation at beta_new
+        # mutation at beta_new, under a per-stage diagonal metric estimated
+        # from the (pooled) particle variance — Buchholz et al.-style
+        # within-SMC adaptation (PAPERS.md:9)
+        def pooled_var(a):
+            m1 = pmean(jnp.mean(a, axis=0), axis_name)
+            m2 = pmean(jnp.mean(a * a, axis=0), axis_name)
+            return jnp.maximum(m2 - m1 * m1, 1e-6)
+
+        def mutate(pos, eps, logp_fn, inv_mass):
+            """n_mutation_steps pooled-adaptive HMC sweeps: the step size
+            updates BETWEEN sweeps from the cross-shard mean acceptance, so
+            it converges within the stage (within-SMC adaptation)."""
+
+            def sweep(carry, k):
+                pos, eps = carry
+                keys = jax.random.split(k, n_local)
+                pos, acc = jax.vmap(
+                    lambda kk, p: _hmc_sweep(kk, p, logp_fn, eps, inv_mass,
+                                             1, cfg.n_leapfrog)
+                )(keys, pos)
+                mean_acc = pmean(jnp.mean(acc), axis_name)
+                eps = eps * jnp.exp(
+                    cfg.step_adapt_rate * (mean_acc - cfg.target_accept)
+                )
+                return (pos, eps), mean_acc
+
+            step_keys = jax.random.split(k_mutate, cfg.n_mutation_steps)
+            (pos, eps), accs = jax.lax.scan(sweep, (pos, eps), step_keys)
+            return pos, eps, jnp.mean(accs)
+
         if cfg.latent_mutation:
             def latent_logp(zi):
                 xi, ladj = flow.inverse_and_ladj(zi)
                 return tempered(xi, beta_new, flow) + ladj
 
             z = flow.forward(x)
-            keys = jax.random.split(k_mutate, n_local)
-            z, acc = jax.vmap(
-                lambda k, zi: _hmc_sweep(k, zi, latent_logp, eps,
-                                         cfg.n_mutation_steps, cfg.n_leapfrog)
-            )(keys, z)
+            z, eps, mean_acc = mutate(z, eps, latent_logp, pooled_var(z))
             x = flow.inverse(z)
         else:
-            keys = jax.random.split(k_mutate, n_local)
-            x, acc = jax.vmap(
-                lambda k, xi: _hmc_sweep(
-                    k, xi, lambda q: tempered(q, beta_new, flow), eps,
-                    cfg.n_mutation_steps, cfg.n_leapfrog)
-            )(keys, x)
+            x, eps, mean_acc = mutate(
+                x, eps, lambda q: tempered(q, beta_new, flow), pooled_var(x)
+            )
         # q0 density must track the (possibly moved) particles
         log_q0_x = _flow_log_q(flow, x)
 
-        mean_acc = pmean(jnp.mean(acc), axis_name)
-        eps = eps * jnp.exp(cfg.step_adapt_rate * (mean_acc - cfg.target_accept))
         return x, log_w, log_q0_x, beta_new, eps, log_z_inc, rel_ess, mean_acc
 
     return stage

@@ -152,3 +152,18 @@ def test_ess_and_rhat_sanity():
     # non-mixed chains: rhat >> 1
     bad = x.at[:, 0, :].add(5.0)
     assert np.all(np.asarray(split_rhat(bad)) > 1.5)
+
+
+def test_chunked_run_matches_unchunked():
+    """chunk_size changes program partitioning, never results (bitwise)."""
+    from tpuflows.targets import DiagNormal
+
+    t = DiagNormal(loc=jnp.zeros(3), scale=jnp.ones(3))
+    q0 = jax.random.normal(jax.random.key(0), (4, 3))
+    a = run_nuts(jax.random.key(1), t.log_density, q0,
+                 num_warmup=30, num_samples=25)
+    b = run_nuts(jax.random.key(1), t.log_density, q0,
+                 num_warmup=30, num_samples=25, chunk_size=8)
+    assert jnp.array_equal(a.samples, b.samples)
+    assert jnp.array_equal(a.step_size, b.step_size)
+    assert jnp.array_equal(a.inv_mass, b.inv_mass)
