@@ -8,7 +8,6 @@ change with host count, only throughput (SURVEY.md §7 hard part 5).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax

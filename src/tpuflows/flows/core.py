@@ -27,7 +27,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from tpuflows.util.pytree import pytree_dataclass, static_field
+from tpuflows.util.pytree import pytree_dataclass
 
 
 class Bijector:

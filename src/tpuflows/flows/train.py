@@ -15,7 +15,6 @@ tpuflows.dist.collectives).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax
@@ -159,29 +158,49 @@ def optimize_flow_reverse_kl(
     optimizer: Optional[optax.GradientTransformation] = None,
     batch_size: int = 512,
     nsteps: int = 1000,
+    anneal_steps: int = 0,
     axis_name: Optional[str] = None,
     opt_state=None,
 ) -> TrainResult:
     """Reverse-KL (self-sampling) training against `log_density` —
     config 2 (BASELINE.json:8) and the VI path (SURVEY.md §2b row 17).
-    Fresh base draws every step, all inside one jitted lax.scan."""
+    Fresh base draws every step, all inside one jitted lax.scan.
+
+    `anneal_steps` > 0 enables temperature annealing: the target is
+    p(x)^beta with beta ramping 0.2 -> 1 over the first `anneal_steps`
+    steps. Tempered targets are WIDER, so q spreads before sharpening —
+    the standard counter to reverse-KL's mode-seeking collapse."""
     if optimizer is None:
         optimizer = optax.adam(1e-3)
-    loss_fn = lambda f, z: reverse_kl_loss(f, log_density, z)
+
+    def loss_fn(f, z_and_beta):
+        z, beta = z_and_beta
+        x, ladj = f.inverse_and_ladj(z)
+        return -jnp.mean(beta * log_density(x) + ladj)
+
     step = make_train_step(optimizer, loss_fn, axis_name)
     if opt_state is None:
         opt_state = optimizer.init(flow)
 
     @jax.jit
     def run(flow, opt_state, key):
-        def body(carry, k):
+        def body(carry, inp):
             f, s = carry
+            k, i = inp
+            if anneal_steps > 0:
+                beta = jnp.clip(
+                    0.2 + 0.8 * i.astype(jnp.float32) / anneal_steps, 0.2, 1.0
+                )
+            else:
+                beta = jnp.asarray(1.0, jnp.float32)
             z = jax.random.normal(k, (batch_size, dim), jnp.float32)
-            f, s, l = step(f, s, z)
+            f, s, l = step(f, s, (z, beta))
             return (f, s), l
 
         keys = jax.random.split(key, nsteps)
-        (flow, opt_state), losses = jax.lax.scan(body, (flow, opt_state), keys)
+        (flow, opt_state), losses = jax.lax.scan(
+            body, (flow, opt_state), (keys, jnp.arange(nsteps))
+        )
         return flow, opt_state, losses
 
     flow, opt_state, loss_hist = run(flow, opt_state, key)

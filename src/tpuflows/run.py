@@ -88,7 +88,8 @@ def run(cfg) -> dict:
         res = run_nuts(k_task, logp, q0, num_warmup=cfg.nuts.num_warmup,
                        num_samples=cfg.nuts.num_samples,
                        max_depth=cfg.nuts.max_depth,
-                       target_accept=cfg.nuts.target_accept)
+                       target_accept=cfg.nuts.target_accept,
+                       chunk_size=32)
         x = res.samples
         if flow is not None:
             x = flow.inverse(x.reshape(-1, dim)).reshape(x.shape)

@@ -23,7 +23,7 @@ ESS/logZ reductions and a distributed resampler. Config 5
 """
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

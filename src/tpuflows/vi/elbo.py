@@ -62,8 +62,11 @@ def fit_vi(
     optimizer: Optional[optax.GradientTransformation] = None,
     batch_size: int = 512,
     nsteps: int = 1000,
+    anneal_steps: int = 0,
 ) -> VIResult:
-    """Fit the flow as a VI family by maximizing the ELBO (reverse KL)."""
+    """Fit the flow as a VI family by maximizing the ELBO (reverse KL).
+    `anneal_steps` ramps the target temperature (see
+    optimize_flow_reverse_kl) — use ~nsteps/2 for funnel-like targets."""
     k_train, k_eval = jax.random.split(key)
     res = optimize_flow_reverse_kl(
         k_train,
@@ -73,6 +76,7 @@ def fit_vi(
         optimizer=optimizer,
         batch_size=batch_size,
         nsteps=nsteps,
+        anneal_steps=anneal_steps,
     )
     # loss = -(E[log p + ladj]); ELBO = -loss + H(base)
     hist = -res.loss_hist + _base_entropy(dim)

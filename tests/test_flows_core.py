@@ -95,3 +95,34 @@ def test_flow_is_pytree_and_jittable():
     x = jax.random.normal(jax.random.key(7), (8, 4))
     z, ladj = fwd(flow, x)
     assert z.shape == (8, 4)
+
+
+def test_scanned_repeat_matches_chain():
+    """ScannedRepeat (stacked-leaf scan) == Chain of the same blocks."""
+    import jax
+    from tpuflows.flows import AffineCoupling, Chain, ScannedRepeat
+
+    mask = (1, 0, 1, 0)
+    keys = jax.random.split(jax.random.key(0), 3)
+    blocks = [
+        AffineCoupling.init(k, mask, hidden=(8,)) for k in keys
+    ]
+    # perturb params so blocks differ (zero-init final layers are identity)
+    blocks = [
+        jax.tree_util.tree_map(
+            lambda a, i=i: a + 0.01 * (i + 1), b
+        ) for i, b in enumerate(blocks)
+    ]
+    chain = Chain(transforms=tuple(blocks))
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *blocks
+    )
+    rep = ScannedRepeat(stacked=stacked)
+    x = jax.random.normal(jax.random.key(1), (16, 4))
+    zc, lc = chain.forward_and_ladj(x)
+    zr, lr = rep.forward_and_ladj(x)
+    assert jnp.allclose(zr, zc, atol=1e-6)
+    assert jnp.allclose(lr, lc, atol=1e-6)
+    xc, li = rep.inverse_and_ladj(zr)
+    assert jnp.allclose(xc, x, atol=1e-5)
+    assert jnp.allclose(li, -lr, atol=1e-5)
