@@ -78,6 +78,29 @@ class NUTSSpec:
 
 
 @dataclass(frozen=True)
+class MHSpec:
+    """Adaptive random-walk MH (BAT's default sampler) / flow-independence MH."""
+
+    n_chains: int = 64
+    num_warmup: int = 1000
+    num_samples: int = 1000
+    target_accept: float = 0.234
+    flow_proposal: bool = False  # True: independence MH from the fitted flow
+
+
+@dataclass(frozen=True)
+class PTSpec:
+    """Parallel tempering (BAT tempered ensemble sampling analog)."""
+
+    n_temps: int = 8
+    beta_min: float = 0.01
+    n_chains: int = 64
+    num_warmup: int = 1000
+    num_samples: int = 1000
+    target_accept: float = 0.234
+
+
+@dataclass(frozen=True)
 class SMCSpec:
     n_particles: int = 4096
     target_rel_ess: float = 0.5
@@ -128,7 +151,7 @@ class AdaptiveSpec:
 @dataclass(frozen=True)
 class RunConfig:
     name: str
-    task: str  # fit | vi | adaptive | nuts | smc
+    task: str  # fit | vi | adaptive | nuts | smc | mh | pt
     seed: int = 0
     target: TargetSpec = field(default_factory=lambda: TargetSpec("std_normal", 2))
     flow: FlowSpec = field(default_factory=FlowSpec)
@@ -136,6 +159,8 @@ class RunConfig:
     nuts: NUTSSpec = field(default_factory=NUTSSpec)
     smc: SMCSpec = field(default_factory=SMCSpec)
     adaptive: AdaptiveSpec = field(default_factory=AdaptiveSpec)
+    mh: MHSpec = field(default_factory=MHSpec)
+    pt: PTSpec = field(default_factory=PTSpec)
     output_dir: Optional[str] = None
 
     @staticmethod
@@ -154,7 +179,8 @@ class RunConfig:
         d = dict(d)
         for key, cls in [("target", TargetSpec), ("flow", FlowSpec),
                          ("train", TrainSpec), ("nuts", NUTSSpec),
-                         ("smc", SMCSpec), ("adaptive", AdaptiveSpec)]:
+                         ("smc", SMCSpec), ("adaptive", AdaptiveSpec),
+                         ("mh", MHSpec), ("pt", PTSpec)]:
             if key in d:
                 d[key] = build(cls, d[key])
         return build(RunConfig, d)

@@ -7,7 +7,7 @@ from tpuflows.flows.core import (
     inverse,
     with_logabsdet_jacobian,
 )
-from tpuflows.flows.affine import AffineCoupling, Standardize
+from tpuflows.flows.affine import AffineCoupling, Standardize, Whiten
 from tpuflows.flows.coupling import RQSCouplingBlock, rqs_coupling_module
 from tpuflows.flows.build import build_flow
 from tpuflows.flows.nets import MLP
@@ -25,7 +25,7 @@ from tpuflows.flows.train import (
 __all__ = [
     "Bijector", "Chain", "Identity", "Inverted", "ScannedRepeat",
     "inverse", "with_logabsdet_jacobian",
-    "AffineCoupling", "Standardize",
+    "AffineCoupling", "Standardize", "Whiten",
     "RQSCouplingBlock", "rqs_coupling_module", "build_flow", "MLP",
     "TrainResult", "make_train_step", "negll_flow_loss",
     "mvnormal_negll_flow", "reverse_kl_loss", "optimize_flow",

@@ -57,6 +57,48 @@ class Standardize(Bijector):
 
 
 @pytree_dataclass
+class Whiten(Bijector):
+    """Full-covariance whitening: z = L^-1 (x - loc), Sigma = L L^T.
+
+    The reference's standardization is diagonal; BAT-style whitening of
+    correlated posteriors (SURVEY.md §2a row 4 "scale-shift/whitening")
+    needs the full Cholesky so downstream splines see an isotropic cloud.
+    ladj is constant in x: forward ladj = -sum(log diag L).
+
+    TPU note: triangular solves don't tile onto the MXU; we store L^-1
+    explicitly (computed once at fit time, d <= 256 engine-wide) so both
+    directions are dense (batch, d) x (d, d) matmuls.
+    """
+
+    loc: jax.Array  # (d,)
+    inv_chol: jax.Array  # (d, d) lower triangular L^-1
+    chol: jax.Array  # (d, d) lower triangular L
+
+    def forward_and_ladj(self, x):
+        z = (x - self.loc) @ self.inv_chol.T
+        ladj = jnp.sum(jnp.log(jnp.diagonal(self.inv_chol)))
+        return z, jnp.broadcast_to(ladj, x.shape[:-1]).astype(x.dtype)
+
+    def inverse_and_ladj(self, z):
+        x = z @ self.chol.T + self.loc
+        ladj = jnp.sum(jnp.log(jnp.diagonal(self.chol)))
+        return x, jnp.broadcast_to(ladj, z.shape[:-1]).astype(z.dtype)
+
+    @staticmethod
+    def from_samples(samples: jax.Array, jitter: float = 1e-5) -> "Whiten":
+        """Fit from an (N, d) sample matrix via regularized covariance."""
+        loc = jnp.mean(samples, axis=0)
+        xc = samples - loc
+        cov = xc.T @ xc / samples.shape[0]
+        cov = cov + jitter * jnp.eye(cov.shape[0], dtype=cov.dtype)
+        chol = jnp.linalg.cholesky(cov)
+        inv_chol = jax.scipy.linalg.solve_triangular(
+            chol, jnp.eye(chol.shape[0], dtype=chol.dtype), lower=True
+        )
+        return Whiten(loc=loc, inv_chol=inv_chol, chol=chol)
+
+
+@pytree_dataclass
 class AffineCoupling(Bijector):
     """RealNVP-style affine coupling block.
 

@@ -12,6 +12,20 @@ from tpuflows.mcmc.dual_averaging import (
     welford_variance,
 )
 from tpuflows.mcmc.sample import MCMCResult, run_nuts
+from tpuflows.mcmc.mh import (
+    MHInfo,
+    MHResult,
+    make_flow_imh_kernel,
+    make_rwmh_kernel,
+    run_flow_imh,
+    run_rwmh,
+)
+from tpuflows.mcmc.tempering import (
+    PTInfo,
+    PTResult,
+    geometric_betas,
+    run_parallel_tempering,
+)
 from tpuflows.mcmc.preconditioned import (
     flow_reparameterized,
     to_data_space,
@@ -25,5 +39,8 @@ __all__ = [
     "da_update", "welford_init", "welford_merge", "welford_update_batch",
     "welford_variance",
     "MCMCResult", "run_nuts",
+    "MHInfo", "MHResult", "make_rwmh_kernel", "run_rwmh",
+    "make_flow_imh_kernel", "run_flow_imh",
+    "PTInfo", "PTResult", "geometric_betas", "run_parallel_tempering",
     "flow_reparameterized", "to_data_space", "to_latent_space",
 ]

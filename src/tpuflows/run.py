@@ -100,6 +100,45 @@ def run(cfg) -> dict:
                "divergence_rate": float(jnp.mean(
                    res.info.diverging.astype(jnp.float32)))}
         state = x
+    elif cfg.task == "mh":
+        from tpuflows.mcmc import run_flow_imh, run_rwmh
+
+        q0 = jax.random.normal(k_data, (cfg.mh.n_chains, dim))
+        if cfg.mh.flow_proposal:
+            init = jax.random.normal(k_build, (2048, dim))
+            flow = build_flow(init, k_build, kind=cfg.flow.kind,
+                              n_blocks=cfg.flow.n_blocks,
+                              knots=cfg.flow.knots, hidden=cfg.flow.hidden,
+                              use_pallas=cfg.flow.use_pallas)
+            flow = fit_vi(k_task, target.log_density, flow, dim,
+                          batch_size=cfg.train.batch_size,
+                          nsteps=cfg.train.nsteps).flow
+            res = run_flow_imh(k_task, target.log_density, flow, q0,
+                               num_samples=cfg.mh.num_samples)
+        else:
+            res = run_rwmh(k_task, target.log_density, q0,
+                           num_warmup=cfg.mh.num_warmup,
+                           num_samples=cfg.mh.num_samples,
+                           target_accept=cfg.mh.target_accept)
+        ess = effective_sample_size(res.samples)
+        out = {"min_ess": float(jnp.min(ess)),
+               "max_rhat": float(jnp.max(split_rhat(res.samples))),
+               "accept_rate": float(jnp.mean(res.info.accept_prob))}
+        state = res.samples
+    elif cfg.task == "pt":
+        from tpuflows.mcmc import geometric_betas, run_parallel_tempering
+
+        q0 = jax.random.normal(k_data, (cfg.pt.n_chains, dim))
+        betas = geometric_betas(cfg.pt.n_temps, cfg.pt.beta_min)
+        res = run_parallel_tempering(
+            k_task, target.log_density, q0, betas,
+            num_warmup=cfg.pt.num_warmup, num_samples=cfg.pt.num_samples,
+            target_accept=cfg.pt.target_accept)
+        ess = effective_sample_size(res.samples)
+        out = {"min_ess": float(jnp.min(ess)),
+               "max_rhat": float(jnp.max(split_rhat(res.samples))),
+               "mean_swap_accept": float(jnp.mean(res.info.swap_accept))}
+        state = res.samples
     elif cfg.task == "smc":
         init = jax.random.normal(k_data, (2048, dim))
         flow = build_flow(init, k_build, kind=cfg.flow.kind,
