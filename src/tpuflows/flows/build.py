@@ -10,8 +10,8 @@ import jax
 
 from tpuflows.flows.affine import AffineCoupling, Standardize
 from tpuflows.flows.core import Chain
-from tpuflows.flows.coupling import rqs_coupling_module
-from tpuflows.util.shapes import alternating_mask
+from tpuflows.flows.coupling import RQSCouplingBlock
+from tpuflows.util.shapes import alternating_mask, block_mask
 
 
 def build_flow(
@@ -23,22 +23,62 @@ def build_flow(
     hidden: tuple = (64, 64),
     activation: str = "silu",
     use_pallas: bool = False,
+    mask_scheme: str = "alternating",
 ) -> Chain:
     """Construct standardization + coupling-module flow fitted-to-start on an
-    (N, d) sample matrix (forward maps data -> standard-normal base)."""
+    (N, d) sample matrix (forward maps data -> standard-normal base).
+
+    mask_scheme: "alternating" = checkerboard only; "mixed" cycles
+    checkerboard-even/odd and first/second-half block masks — block masks
+    let a conditioner see leading dims whole, which is what hierarchical /
+    funnel-style targets (global scale in dim 0) need for an exact fit."""
     dim = samples.shape[-1]
     std = Standardize.from_samples(samples)
+
+    def mask_for(i: int):
+        if mask_scheme == "alternating":
+            return alternating_mask(dim, i % 2)
+        if mask_scheme == "mixed":
+            kind = i % 4
+            if kind < 2:
+                return alternating_mask(dim, kind)
+            return block_mask(dim, kind - 2)
+        raise ValueError(f"unknown mask_scheme: {mask_scheme!r}")
     if kind == "rqs":
-        module = rqs_coupling_module(
-            key, dim, n_blocks=n_blocks, knots=knots, hidden=hidden,
-            activation=activation, use_pallas=use_pallas,
+        keys = jax.random.split(key, n_blocks)
+        blocks = tuple(
+            RQSCouplingBlock.init(
+                keys[i], mask_for(i), knots=knots, hidden=hidden,
+                activation=activation, use_pallas=use_pallas,
+            )
+            for i in range(n_blocks)
         )
-        blocks = module.transforms
+    elif kind == "arqs":
+        # Affine+RQS hybrid: each layer pairs an affine coupling (unbounded
+        # scale — carries heavy tails / funnel-style dynamic range that a
+        # bounded spline's identity tails cannot express) with an RQS block
+        # (flexible shape inside the spline window), same mask so the pair
+        # acts on the same dims before the mask alternates.
+        keys = jax.random.split(key, 2 * n_blocks)
+        blocks = []
+        for i in range(n_blocks):
+            mask = mask_for(i)
+            blocks.append(
+                AffineCoupling.init(keys[2 * i], mask, hidden=hidden,
+                                    activation=activation)
+            )
+            blocks.append(
+                RQSCouplingBlock.init(
+                    keys[2 * i + 1], mask, knots=knots, hidden=hidden,
+                    activation=activation, use_pallas=use_pallas,
+                )
+            )
+        blocks = tuple(blocks)
     elif kind == "affine":
         keys = jax.random.split(key, n_blocks)
         blocks = tuple(
             AffineCoupling.init(
-                keys[i], alternating_mask(dim, i % 2), hidden=hidden,
+                keys[i], mask_for(i), hidden=hidden,
                 activation=activation,
             )
             for i in range(n_blocks)

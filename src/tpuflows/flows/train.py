@@ -161,6 +161,7 @@ def optimize_flow_reverse_kl(
     anneal_steps: int = 0,
     axis_name: Optional[str] = None,
     opt_state=None,
+    stl: bool = False,
 ) -> TrainResult:
     """Reverse-KL (self-sampling) training against `log_density` —
     config 2 (BASELINE.json:8) and the VI path (SURVEY.md §2b row 17).
@@ -169,14 +170,32 @@ def optimize_flow_reverse_kl(
     `anneal_steps` > 0 enables temperature annealing: the target is
     p(x)^beta with beta ramping 0.2 -> 1 over the first `anneal_steps`
     steps. Tempered targets are WIDER, so q spreads before sharpening —
-    the standard counter to reverse-KL's mode-seeking collapse."""
+    the standard counter to reverse-KL's mode-seeking collapse.
+
+    `stl` enables the sticking-the-landing estimator (Roeder et al. 2017):
+    log q(x) is evaluated through a stop-gradient copy of the flow, which
+    drops the score term from the pathwise gradient. The estimator's
+    variance vanishes as q -> p (the plain estimator's does not), at the
+    cost of one extra forward pass per step."""
     if optimizer is None:
         optimizer = optax.adam(1e-3)
 
-    def loss_fn(f, z_and_beta):
-        z, beta = z_and_beta
-        x, ladj = f.inverse_and_ladj(z)
-        return -jnp.mean(beta * log_density(x) + ladj)
+    if stl:
+
+        def loss_fn(f, z_and_beta):
+            z, beta = z_and_beta
+            x, _ = f.inverse_and_ladj(z)
+            f_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, f)
+            z_sg, ladj_fwd = f_sg.forward_and_ladj(x)
+            log_q = std_normal_logpdf(z_sg) + ladj_fwd
+            return -jnp.mean(beta * log_density(x) - log_q)
+
+    else:
+
+        def loss_fn(f, z_and_beta):
+            z, beta = z_and_beta
+            x, ladj = f.inverse_and_ladj(z)
+            return -jnp.mean(beta * log_density(x) + ladj)
 
     step = make_train_step(optimizer, loss_fn, axis_name)
     if opt_state is None:

@@ -20,6 +20,7 @@ from tpuflows.mcmc.mh import (
     run_flow_imh,
     run_rwmh,
 )
+from tpuflows.mcmc.ensemble import EnsembleResult, run_ensemble
 from tpuflows.mcmc.tempering import (
     PTInfo,
     PTResult,
@@ -41,6 +42,7 @@ __all__ = [
     "MCMCResult", "run_nuts",
     "MHInfo", "MHResult", "make_rwmh_kernel", "run_rwmh",
     "make_flow_imh_kernel", "run_flow_imh",
+    "EnsembleResult", "run_ensemble",
     "PTInfo", "PTResult", "geometric_betas", "run_parallel_tempering",
     "flow_reparameterized", "to_data_space", "to_latent_space",
 ]

@@ -63,10 +63,12 @@ def fit_vi(
     batch_size: int = 512,
     nsteps: int = 1000,
     anneal_steps: int = 0,
+    stl: bool = False,
 ) -> VIResult:
     """Fit the flow as a VI family by maximizing the ELBO (reverse KL).
     `anneal_steps` ramps the target temperature (see
-    optimize_flow_reverse_kl) — use ~nsteps/2 for funnel-like targets."""
+    optimize_flow_reverse_kl) — use ~nsteps/2 for funnel-like targets;
+    `stl` uses the sticking-the-landing gradient estimator."""
     k_train, k_eval = jax.random.split(key)
     res = optimize_flow_reverse_kl(
         k_train,
@@ -77,9 +79,14 @@ def fit_vi(
         batch_size=batch_size,
         nsteps=nsteps,
         anneal_steps=anneal_steps,
+        stl=stl,
     )
-    # loss = -(E[log p + ladj]); ELBO = -loss + H(base)
-    hist = -res.loss_hist + _base_entropy(dim)
+    if stl:
+        # STL loss = -(E[log p - log q]) = -ELBO estimate directly.
+        hist = -res.loss_hist
+    else:
+        # loss = -(E[log p + ladj]); ELBO = -loss + H(base)
+        hist = -res.loss_hist + _base_entropy(dim)
     return VIResult(
         flow=res.result,
         elbo_hist=hist,
