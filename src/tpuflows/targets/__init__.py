@@ -4,6 +4,8 @@ from tpuflows.targets.correlated import CorrelatedGaussian
 from tpuflows.targets.mixture import GaussianMixture
 from tpuflows.targets.funnel import NealsFunnel
 from tpuflows.targets.hierarchical import HierarchicalGaussian
+from tpuflows.targets.banana import Banana, Rosenbrock
+from tpuflows.targets.cauchy import MultimodalCauchy
 
 __all__ = [
     "Target",
@@ -15,4 +17,7 @@ __all__ = [
     "GaussianMixture",
     "NealsFunnel",
     "HierarchicalGaussian",
+    "Banana",
+    "Rosenbrock",
+    "MultimodalCauchy",
 ]

@@ -93,3 +93,61 @@ def test_hierarchical_ground_truth_consistency():
     lp_mean = float(t.log_density(jnp.asarray(mean)[None])[0])
     lp_far = float(t.log_density(jnp.asarray(mean)[None] + 10.0)[0])
     assert np.isfinite(lp_mean) and lp_mean > lp_far
+
+
+def test_banana_density_matches_sampler():
+    """Banana: exact samples vs analytic moments, and the log-density is a
+    proper normalized pdf (checked by importance sampling against its own
+    exact sampler: E_p[1] = 1 trivially; instead check E over a Gaussian
+    q of p/q equals 1)."""
+    from tpuflows.targets import Banana
+
+    t = Banana(dim=4, b=0.5, sigma1=2.0)
+    x = t.sample(jax.random.key(0), 200_000)
+    np.testing.assert_allclose(np.asarray(jnp.mean(x, 0)),
+                               np.asarray(t.mean()), atol=0.1)
+    np.testing.assert_allclose(
+        np.asarray(jnp.var(x, 0)), np.asarray(jnp.diagonal(t.cov())),
+        rtol=0.05,
+    )
+    # normalization: E_q[p/q] = 1 with q a wide diag normal
+    scale = jnp.array([4.0, 12.0, 2.0, 2.0])
+    z = jax.random.normal(jax.random.key(1), (400_000, 4)) * scale
+    log_q = jnp.sum(
+        -0.5 * (z / scale) ** 2 - jnp.log(scale) - 0.5 * jnp.log(2 * jnp.pi),
+        axis=-1,
+    )
+    log_w = t.log_density(z) - log_q
+    z_hat = float(jnp.exp(jax.scipy.special.logsumexp(log_w) - jnp.log(z.shape[0])))
+    assert abs(z_hat - 1.0) < 0.05
+
+
+def test_rosenbrock_sampler_matches_density_moments():
+    from tpuflows.targets import Rosenbrock
+
+    t = Rosenbrock(dim=4)
+    x = t.sample(jax.random.key(2), 200_000)
+    np.testing.assert_allclose(np.asarray(jnp.mean(x, 0)),
+                               np.asarray(t.mean()), atol=0.05)
+    # density is exact: check conditional structure via log-density of
+    # shifted points (x_odd exactly on the parabola maximizes the pair term)
+    on = jnp.array([[1.0, 1.0, 1.0, 1.0]])
+    off = jnp.array([[1.0, 1.5, 1.0, 1.0]])
+    assert float(t.log_density(on)[0]) > float(t.log_density(off)[0])
+
+
+def test_multimodal_cauchy_quantiles():
+    from tpuflows.targets import MultimodalCauchy
+
+    t = MultimodalCauchy(dim=4, mu=1.0, sigma=0.2)
+    x = t.sample(jax.random.key(3), 400_000)
+    # symmetric mixture: median of dims 0,1 is 0; dims >= 2 median 0 too
+    med = np.asarray(jnp.median(x, axis=0))
+    np.testing.assert_allclose(med, 0.0, atol=0.02)
+    # dims >= 2: analytic quartiles of Cauchy(0, 0.2) are +-0.2
+    q1, q3 = np.quantile(np.asarray(x[:, 2]), [0.25, 0.75])
+    np.testing.assert_allclose([q1, q3], [-0.2, 0.2], atol=0.01)
+    # bimodality of dim 0: mass near +-1 exceeds mass near 0
+    h_near_mode = np.mean(np.abs(np.abs(np.asarray(x[:, 0])) - 1.0) < 0.2)
+    h_near_zero = np.mean(np.abs(np.asarray(x[:, 0])) < 0.2)
+    assert h_near_mode > 2 * h_near_zero
