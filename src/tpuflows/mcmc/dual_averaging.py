@@ -26,13 +26,17 @@ class DualAveragingState(NamedTuple):
 
 
 def da_init(eps0: float | jax.Array) -> DualAveragingState:
+    """`eps0` may be a scalar (one pooled iterate) or an (n_chains,) vector
+    (one independent iterate per chain — every leaf is created at full lane
+    shape so the state is lax.scan-carry shape-stable)."""
     log_eps = jnp.log(jnp.asarray(eps0, jnp.float32))
+    zeros = jnp.zeros_like(log_eps)
     return DualAveragingState(
         log_eps=log_eps,
-        log_eps_bar=jnp.asarray(0.0, jnp.float32),
-        h_bar=jnp.asarray(0.0, jnp.float32),
+        log_eps_bar=zeros,
+        h_bar=zeros,
         mu=jnp.log(10.0) + log_eps,
-        t=jnp.asarray(0.0, jnp.float32),
+        t=zeros,
     )
 
 

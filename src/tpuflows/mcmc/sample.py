@@ -59,8 +59,20 @@ def run_nuts(
     axis_name: Optional[str] = None,
     jit: bool = True,
     chunk_size: Optional[int] = None,
+    per_chain_step_size: bool = True,
 ) -> MCMCResult:
-    """Run vmapped NUTS chains with pooled warmup adaptation.
+    """Run vmapped NUTS chains with warmup adaptation.
+
+    `per_chain_step_size=True` (default) runs one dual-averaging iterate per
+    chain (every DA leaf is an (n_chains,) lane vector — the update stays a
+    single fused elementwise op). This is what production samplers do per
+    chain, and it is robust where pooling is not: a chain that starts in a
+    high-curvature region (e.g. the small-sigma tail of a scale posterior)
+    would diverge forever under the pooled step size tuned for the typical
+    set; per-chain DA shrinks just that chain's eps until it escapes. It
+    also removes the only cross-host collective in warmup (the mass-matrix
+    pool at the 75% switch remains, `psum`-shaped via `axis_name`).
+    `per_chain_step_size=False` restores fully pooled adaptation.
 
     `chunk_size` splits warmup/sampling into several device programs of at
     most that many steps, carrying chain/adaptation state between them.
@@ -69,10 +81,13 @@ def run_nuts(
     the unchunked run (same keys, same scan bodies)."""
     n_chains, d = init_positions.shape
     kernel = make_nuts_kernel(log_density, max_depth=max_depth)
-    vkernel = jax.vmap(kernel, in_axes=(0, 0, None, None))
+    eps_axis = 0 if per_chain_step_size else None
+    vkernel = jax.vmap(kernel, in_axes=(0, 0, eps_axis, None))
 
     metric_step = int(0.75 * num_warmup)
     welford_start = int(0.15 * num_warmup)
+    eps0 = (jnp.full((n_chains,), initial_step_size, jnp.float32)
+            if per_chain_step_size else initial_step_size)
 
     def warmup_body(carry, inp):
         step_idx, step_key = inp
@@ -80,7 +95,10 @@ def run_nuts(
         keys = jax.random.split(step_key, n_chains)
         eps = da_step_size(da)
         q, info = vkernel(keys, q, eps, inv_mass)
-        accept = _pmean_if(axis_name, jnp.mean(info.accept_prob))
+        if per_chain_step_size:
+            accept = info.accept_prob  # (n_chains,) — no pooling
+        else:
+            accept = _pmean_if(axis_name, jnp.mean(info.accept_prob))
         da = da_update(da, accept, target_accept=target_accept)
         in_window = (step_idx >= welford_start) & (step_idx < metric_step)
         wf_new = welford_update_batch(wf, q)
@@ -111,7 +129,7 @@ def run_nuts(
             # shard_map — fold in the worker index
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         k_warm, k_sample = jax.random.split(key)
-        da = da_init(initial_step_size)
+        da = da_init(eps0)
         wf = welford_init(d)
         inv_mass = jnp.ones((d,), jnp.float32)
         if num_warmup > 0:
@@ -144,7 +162,7 @@ def run_nuts(
     k_warm, k_sample = jax.random.split(key)
     carry = (
         init_positions,
-        da_init(initial_step_size),
+        da_init(eps0),
         welford_init(d),
         jnp.ones((d,), jnp.float32),
     )

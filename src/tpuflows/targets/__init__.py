@@ -6,6 +6,17 @@ from tpuflows.targets.funnel import NealsFunnel
 from tpuflows.targets.hierarchical import HierarchicalGaussian
 from tpuflows.targets.banana import Banana, Rosenbrock
 from tpuflows.targets.cauchy import MultimodalCauchy
+from tpuflows.targets.posterior import (
+    Beta,
+    Exponential,
+    HalfNormal,
+    IndependentPrior,
+    LogNormal,
+    Normal,
+    Posterior,
+    Uniform,
+    find_mode,
+)
 
 __all__ = [
     "Target",
@@ -20,4 +31,13 @@ __all__ = [
     "Banana",
     "Rosenbrock",
     "MultimodalCauchy",
+    "IndependentPrior",
+    "Posterior",
+    "Normal",
+    "LogNormal",
+    "Exponential",
+    "HalfNormal",
+    "Uniform",
+    "Beta",
+    "find_mode",
 ]
