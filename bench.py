@@ -2,16 +2,25 @@
 flow-preconditioned NUTS on the 64-d Neal's funnel, 1024 vmapped chains on
 one chip (config 4, BASELINE.json:10).
 
-Pipeline (timed phases):
-  1. fit a 64-d RQ-spline flow to the funnel by reverse KL (self-sampling),
-  2. run dual-averaging-adapted NUTS in the flow's latent space, 1024 chains,
-  3. ESS = min over dims of cross-chain autocorrelation ESS of the
-     data-space draws; metric = ESS / sampling wall-time.
+Pipeline (timed phases, COMPILATION EXCLUDED via same-shape priming calls):
+  1. fit a 64-d flow to the funnel by reverse KL (self-sampling, STL).
+     Flow family: standardize + ONE leading-mask affine coupling — the
+     funnel's exact transport (x_rest = exp(v/2) z_rest) lives in this
+     family, so the fitted latent is near-iid N(0, I) (measured ELBO
+     ~ -0.01 nats) and NUTS mixes at close to iid efficiency.
+  2. NUTS in the flow's latent space: POOLED dual-averaging step size
+     (per-chain adaptation lets one straggler chain force 2^max_depth-leaf
+     trees on the whole vmapped batch — measured 10x wall-time blowup and
+     run-to-run R-hat flapping in round 1), Welford mass matrix, 1024
+     chains, warmup then draw windows.
+  3. CONVERGENCE GATE: windows of draws are appended until
+     max split-R-hat < 1.05 AND min cross-chain ESS >= 10k (or the window
+     budget is exhausted — then the bench FAILS loudly, exit 1, no metric).
+     ESS/R-hat are computed on DATA-space draws, min over all 64 dims.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
-`vs_baseline`: the reference publishes no numbers (BASELINE.json:13,
-BASELINE.md), so the ratio is against the first number this repo recorded
-(bench_baseline.json, written on first run) — 1.0 on that first run.
+Metric = min_ess / (warmup + draw wall-time), compile excluded.
+`vs_baseline`: ratio against the first number this repo recorded
+(bench_baseline.json, round-1 driver run: 0.96 eff samples/s/chip).
 """
 import json
 import os
@@ -28,73 +37,142 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                ".jax_cache"))
 
+DIM = 64
+N_CHAINS = 1024
+TRAIN_STEPS = 6000
+TRAIN_CHUNK = 200
+NUM_WARMUP = 128
+DRAW_WINDOW = 512
+MAX_WINDOWS = 4
+NUTS_CHUNK = 128
+MAX_DEPTH = 6
+RHAT_GATE = 1.05
+ESS_GATE = 10_000.0
+
+
+def _ready(tree):
+    """Force device completion by fetching a value (the axon tunnel's
+    block_until_ready returns before completion; a host readback does not)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    return float(jnp.sum(leaves[0]))
+
 
 def main():
     from tpuflows.diagnostics import effective_sample_size, split_rhat
-    from tpuflows.flows import build_flow
-    from tpuflows.mcmc import run_nuts
+    from tpuflows.flows import build_flow, make_reverse_kl_trainer
+    from tpuflows.mcmc import NUTSDriver
     from tpuflows.mcmc.preconditioned import flow_reparameterized
     from tpuflows.targets import NealsFunnel
-    from tpuflows.vi import fit_vi
+    from tpuflows.vi import elbo
 
-    dim = 64
-    n_chains = 1024
-    num_warmup = 256
-    num_samples = 256
     use_pallas = os.environ.get("TPUFLOWS_BENCH_PALLAS", "") == "1"
+    target = NealsFunnel(dim=DIM)
 
-    target = NealsFunnel(dim=dim)
-    key = jax.random.key(0)
+    def make_flow0():
+        init = jax.random.normal(jax.random.key(1), (1024, DIM), jnp.float32)
+        return build_flow(init, jax.random.key(2), kind="affine", n_blocks=1,
+                          hidden=(128, 128), mask_scheme="leading",
+                          clamp=8.0, use_pallas=use_pallas)
+
+    def make_opt():
+        return optax.chain(
+            optax.clip_by_global_norm(10.0),
+            optax.adam(optax.cosine_decay_schedule(1e-2, TRAIN_STEPS,
+                                                   alpha=0.03)),
+        )
 
     # ---- 1. flow fit (timed: "flow train time", BASELINE.json:2) ---------
-    # Recipe (measured, see PROGRESS notes): affine+RQS hybrid blocks
-    # (affine carries the funnel's exp(v/2) dynamic range, splines the
-    # shape), mixed checkerboard+block masks (conditioners see the global
-    # scale dim whole), STL gradient estimator, grad clip + cosine decay.
-    # Final ELBO ~ -0.05 nats (KL(q||p) ~ 0.05) vs -1.2 for pure-RQS.
-    nsteps = 2000
+    flow0 = make_flow0()
+    # ONE reusable trainer: priming shares the jitted chunk program with
+    # the timed run, so compilation is excluded deterministically
+    trainer = make_reverse_kl_trainer(
+        target.log_density, DIM, make_opt(), batch_size=1024, stl=True,
+        chunk_size=TRAIN_CHUNK)
+    _ready(trainer(jax.random.key(9), flow0, TRAIN_CHUNK).result)  # prime
+
     t0 = time.perf_counter()
-    init = jax.random.normal(jax.random.key(1), (1024, dim), jnp.float32)
-    flow0 = build_flow(init, jax.random.key(2), kind="arqs", n_blocks=4,
-                       knots=8, hidden=(128, 128), mask_scheme="mixed",
-                       use_pallas=use_pallas)
-    vi = fit_vi(jax.random.key(3), target.log_density, flow0, dim,
-                optimizer=optax.chain(
-                    optax.clip_by_global_norm(10.0),
-                    optax.adam(optax.cosine_decay_schedule(1e-3, nsteps,
-                                                           alpha=0.1)),
-                ),
-                batch_size=1024, nsteps=nsteps, stl=True)
-    flow = vi.flow
-    # NOTE: host readback, not block_until_ready — the axon tunnel's
-    # block_until_ready returns before device completion; only fetching a
-    # value forces real execution (verified against matmul rooflines).
-    float(jnp.sum(jax.tree_util.tree_leaves(flow)[0]))
+    res = trainer(jax.random.key(3), flow0, TRAIN_STEPS)
+    flow = res.result
+    _ready(flow)
     train_time = time.perf_counter() - t0
+    final_elbo = elbo(jax.random.key(7), flow, target.log_density, DIM)
 
-    # ---- 2. flow-preconditioned NUTS, 1024 chains, one chip --------------
+    # ---- 2. flow-preconditioned NUTS ---------------------------------------
     logp = flow_reparameterized(target.log_density, flow)
-    q0 = jax.random.normal(jax.random.key(4), (n_chains, dim), jnp.float32)
+    q0 = jax.random.normal(jax.random.key(4), (N_CHAINS, DIM), jnp.float32)
+
+    # ONE reusable driver: priming compiles the warmup/draw chunk programs
+    # that the timed phases then reuse (window constants are traced, so the
+    # priming warmup can be short)
+    driver = NUTSDriver(logp, max_depth=MAX_DEPTH)
+    st_p = driver.warmup(jax.random.key(99), q0, NUTS_CHUNK,
+                         chunk_size=NUTS_CHUNK)
+    _, z_p, _ = driver.draws(jax.random.key(98), st_p, NUTS_CHUNK,
+                             chunk_size=NUTS_CHUNK)
+    _ready(z_p)
 
     t0 = time.perf_counter()
-    # chunked: bounds single-program runtime (the tunnel worker dies on
-    # multi-minute programs); results identical to the unchunked run
-    res = run_nuts(jax.random.key(5), logp, q0, num_warmup=num_warmup,
-                   num_samples=num_samples, max_depth=8, target_accept=0.8,
-                   chunk_size=32)
-    float(jnp.sum(res.samples))  # host readback (see NOTE above)
-    sample_time = time.perf_counter() - t0
+    state = driver.warmup(jax.random.key(5), q0, NUM_WARMUP,
+                          chunk_size=NUTS_CHUNK)
+    _ready(state.q)
+    warm_time = time.perf_counter() - t0
 
-    # ---- 3. quality + metric --------------------------------------------
-    x = flow.inverse(res.samples.reshape(-1, dim)).reshape(res.samples.shape)
-    ess = effective_sample_size(x)
-    rhat = split_rhat(x)
-    min_ess = float(jnp.min(ess))
+    # ---- 3. gated draw windows ------------------------------------------
+    draw_time = 0.0
+    zs, infos = [], []
+    converged = False
+    min_ess = max_rhat = float("nan")
+    x = None
+    for w in range(MAX_WINDOWS):
+        t0 = time.perf_counter()
+        state, z, info = driver.draws(jax.random.fold_in(jax.random.key(6), w),
+                                      state, DRAW_WINDOW,
+                                      chunk_size=NUTS_CHUNK)
+        _ready(z)
+        draw_time += time.perf_counter() - t0
+        zs.append(z)
+        infos.append(info)
+        z_all = jnp.concatenate(zs, axis=0)
+        x = flow.inverse(z_all.reshape(-1, DIM)).reshape(z_all.shape)
+        ess = effective_sample_size(x)
+        rhat = split_rhat(x)
+        min_ess = float(jnp.min(ess))
+        max_rhat = float(jnp.max(rhat))
+        print(json.dumps({"window": w, "draws": int(z_all.shape[0]),
+                          "min_ess": round(min_ess, 0),
+                          "max_rhat": round(max_rhat, 4)}), file=sys.stderr)
+        if max_rhat < RHAT_GATE and min_ess >= ESS_GATE:
+            converged = True
+            break
+
+    sample_time = warm_time + draw_time
     eff_sps = min_ess / sample_time
+    div = jnp.mean(jnp.concatenate(
+        [i.diverging.astype(jnp.float32).reshape(-1) for i in infos]))
 
-    # funnel ground truth: v ~ N(0,3^2) on dim 0
-    v_mean = float(jnp.mean(x[..., 0]))
-    v_std = float(jnp.std(x[..., 0]))
+    detail = {
+        "train_time_s": round(train_time, 2),
+        "warmup_time_s": round(warm_time, 2),
+        "draw_time_s": round(draw_time, 2),
+        "sample_time_s": round(sample_time, 2),
+        "n_draws": int(sum(z.shape[0] for z in zs)),
+        "min_ess": round(min_ess, 1),
+        "max_rhat": round(max_rhat, 4),
+        "v_mean": round(float(jnp.mean(x[..., 0])), 3),
+        "v_std": round(float(jnp.std(x[..., 0])), 3),
+        "final_elbo": round(float(final_elbo), 3),
+        "divergence_rate": round(float(div), 4),
+        "step_size": round(float(state.step_size), 4),
+        "pallas": use_pallas,
+        "converged": converged,
+    }
+    print(json.dumps(detail), file=sys.stderr)
+
+    if not converged:
+        print(json.dumps({"error": "convergence gate failed",
+                          "max_rhat": max_rhat, "min_ess": min_ess}),
+              file=sys.stderr)
+        sys.exit(1)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "bench_baseline.json")
@@ -107,19 +185,6 @@ def main():
             json.dump({"metric": "eff_samples_per_sec_per_chip",
                        "value": eff_sps}, f)
 
-    detail = {
-        "train_time_s": round(train_time, 2),
-        "sample_time_s": round(sample_time, 2),
-        "min_ess": round(min_ess, 1),
-        "max_rhat": round(float(jnp.max(rhat)), 4),
-        "v_mean": round(v_mean, 3),
-        "v_std": round(v_std, 3),
-        "final_elbo": round(float(vi.final_elbo), 3),
-        "divergence_rate": round(
-            float(jnp.mean(res.info.diverging.astype(jnp.float32))), 4),
-        "pallas": use_pallas,
-    }
-    print(json.dumps(detail), file=sys.stderr)
     print(json.dumps({
         "metric": "eff_samples_per_sec_per_chip_nuts_funnel64",
         "value": round(eff_sps, 2),

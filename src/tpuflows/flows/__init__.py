@@ -17,6 +17,7 @@ from tpuflows.flows.train import (
     mvnormal_negll_flow,
     negll_flow_loss,
     optimize_flow,
+    make_reverse_kl_trainer,
     optimize_flow_reverse_kl,
     optimize_flow_sequentially,
     reverse_kl_loss,
@@ -29,5 +30,5 @@ __all__ = [
     "RQSCouplingBlock", "rqs_coupling_module", "build_flow", "MLP",
     "TrainResult", "make_train_step", "negll_flow_loss",
     "mvnormal_negll_flow", "reverse_kl_loss", "optimize_flow",
-    "optimize_flow_reverse_kl", "optimize_flow_sequentially",
+    "optimize_flow_reverse_kl", "make_reverse_kl_trainer", "optimize_flow_sequentially",
 ]

@@ -24,6 +24,8 @@ def build_flow(
     activation: str = "silu",
     use_pallas: bool = False,
     mask_scheme: str = "alternating",
+    clamp: float = 4.0,
+    n_leading: int = 1,
 ) -> Chain:
     """Construct standardization + coupling-module flow fitted-to-start on an
     (N, d) sample matrix (forward maps data -> standard-normal base).
@@ -31,7 +33,16 @@ def build_flow(
     mask_scheme: "alternating" = checkerboard only; "mixed" cycles
     checkerboard-even/odd and first/second-half block masks — block masks
     let a conditioner see leading dims whole, which is what hierarchical /
-    funnel-style targets (global scale in dim 0) need for an exact fit."""
+    funnel-style targets (global scale in dim 0) need for an exact fit;
+    "leading" passes the first `n_leading` dims through and transforms the
+    rest, conditioned on them — with kind="affine" and a wide `clamp` this
+    family contains hierarchical scale targets (e.g. Neal's funnel: the
+    exact transport is x_rest = exp(v/2) z_rest, i.e. ONE leading-mask
+    affine coupling; bench.py uses exactly this).
+
+    clamp: log-scale soft-clamp for affine couplings. The default +-4 covers
+    e^{+-4}=55x dynamic range; funnel-style targets need the clamp to cover
+    the scale range at the v-prior's tails (bench: +-8)."""
     dim = samples.shape[-1]
     std = Standardize.from_samples(samples)
 
@@ -43,6 +54,13 @@ def build_flow(
             if kind < 2:
                 return alternating_mask(dim, kind)
             return block_mask(dim, kind - 2)
+        if mask_scheme == "leading":
+            # pass the global/scale dims, transform the rest; alternate with
+            # the complement so stacked blocks also transform the leaders
+            lead = tuple(1 if j < n_leading else 0 for j in range(dim))
+            if i % 2 == 0:
+                return lead
+            return tuple(1 - m for m in lead)
         raise ValueError(f"unknown mask_scheme: {mask_scheme!r}")
     if kind == "rqs":
         keys = jax.random.split(key, n_blocks)
@@ -65,7 +83,7 @@ def build_flow(
             mask = mask_for(i)
             blocks.append(
                 AffineCoupling.init(keys[2 * i], mask, hidden=hidden,
-                                    activation=activation)
+                                    activation=activation, clamp=clamp)
             )
             blocks.append(
                 RQSCouplingBlock.init(
@@ -79,7 +97,7 @@ def build_flow(
         blocks = tuple(
             AffineCoupling.init(
                 keys[i], mask_for(i), hidden=hidden,
-                activation=activation,
+                activation=activation, clamp=clamp,
             )
             for i in range(n_blocks)
         )

@@ -150,6 +150,77 @@ def optimize_flow(
     return TrainResult(result=flow, optimizer_state=opt_state, loss_hist=loss_hist)
 
 
+def make_reverse_kl_trainer(
+    log_density: Callable,
+    dim: int,
+    optimizer: optax.GradientTransformation,
+    batch_size: int = 512,
+    anneal_steps: int = 0,
+    axis_name: Optional[str] = None,
+    stl: bool = False,
+    chunk_size: int = 200,
+):
+    """Build a REUSABLE chunked reverse-KL trainer.
+
+    Returns `train(key, flow, nsteps, opt_state=None) -> TrainResult`.
+    All invocations share ONE jitted chunk program (compiled on first call),
+    so a short priming call excludes compilation from timed runs without
+    relying on the persistent compilation cache (whose keys are not stable
+    across processes for fresh `jax.jit` lambdas — observed 4 s vs 225 s
+    train time for identical bench runs before this factory existed)."""
+    if stl:
+
+        def loss_fn(f, z_and_beta):
+            z, beta = z_and_beta
+            x, _ = f.inverse_and_ladj(z)
+            f_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, f)
+            z_sg, ladj_fwd = f_sg.forward_and_ladj(x)
+            log_q = std_normal_logpdf(z_sg) + ladj_fwd
+            return -jnp.mean(beta * log_density(x) - log_q)
+
+    else:
+
+        def loss_fn(f, z_and_beta):
+            z, beta = z_and_beta
+            x, ladj = f.inverse_and_ladj(z)
+            return -jnp.mean(beta * log_density(x) + ladj)
+
+    step = make_train_step(optimizer, loss_fn, axis_name)
+
+    def body(carry, inp):
+        f, s = carry
+        k, i = inp
+        if anneal_steps > 0:
+            beta = jnp.clip(
+                0.2 + 0.8 * i.astype(jnp.float32) / anneal_steps, 0.2, 1.0
+            )
+        else:
+            beta = jnp.asarray(1.0, jnp.float32)
+        z = jax.random.normal(k, (batch_size, dim), jnp.float32)
+        f, s, l = step(f, s, (z, beta))
+        return (f, s), l
+
+    chunk_run = jax.jit(lambda flow, opt_state, keys, idxs: jax.lax.scan(
+        body, (flow, opt_state), (keys, idxs)))
+
+    def train(key, flow, nsteps, opt_state=None) -> TrainResult:
+        if opt_state is None:
+            opt_state = optimizer.init(flow)
+        keys = jax.random.split(key, nsteps)
+        idxs = jnp.arange(nsteps)
+        hists = []
+        carry = (flow, opt_state)
+        for lo in range(0, nsteps, chunk_size):
+            hi = min(lo + chunk_size, nsteps)
+            carry, losses = chunk_run(carry[0], carry[1], keys[lo:hi],
+                                      idxs[lo:hi])
+            hists.append(losses)
+        return TrainResult(result=carry[0], optimizer_state=carry[1],
+                           loss_hist=jnp.concatenate(hists))
+
+    return train
+
+
 def optimize_flow_reverse_kl(
     key: jax.Array,
     log_density: Callable,
@@ -162,10 +233,18 @@ def optimize_flow_reverse_kl(
     axis_name: Optional[str] = None,
     opt_state=None,
     stl: bool = False,
+    chunk_size: Optional[int] = None,
 ) -> TrainResult:
     """Reverse-KL (self-sampling) training against `log_density` —
     config 2 (BASELINE.json:8) and the VI path (SURVEY.md §2b row 17).
     Fresh base draws every step, all inside one jitted lax.scan.
+
+    `chunk_size` splits the nsteps scan into several device programs of at
+    most that many steps (state carried on host). The compiled program then
+    depends on chunk_size, not nsteps — one cache entry serves any length,
+    and a 1-chunk priming call excludes compilation from timed runs
+    (bench.py). Results are identical to the unchunked run (same per-step
+    keys and anneal schedule).
 
     `anneal_steps` > 0 enables temperature annealing: the target is
     p(x)^beta with beta ramping 0.2 -> 1 over the first `anneal_steps`
@@ -201,29 +280,45 @@ def optimize_flow_reverse_kl(
     if opt_state is None:
         opt_state = optimizer.init(flow)
 
-    @jax.jit
-    def run(flow, opt_state, key):
-        def body(carry, inp):
-            f, s = carry
-            k, i = inp
-            if anneal_steps > 0:
-                beta = jnp.clip(
-                    0.2 + 0.8 * i.astype(jnp.float32) / anneal_steps, 0.2, 1.0
-                )
-            else:
-                beta = jnp.asarray(1.0, jnp.float32)
-            z = jax.random.normal(k, (batch_size, dim), jnp.float32)
-            f, s, l = step(f, s, (z, beta))
-            return (f, s), l
+    def body(carry, inp):
+        f, s = carry
+        k, i = inp
+        if anneal_steps > 0:
+            beta = jnp.clip(
+                0.2 + 0.8 * i.astype(jnp.float32) / anneal_steps, 0.2, 1.0
+            )
+        else:
+            beta = jnp.asarray(1.0, jnp.float32)
+        z = jax.random.normal(k, (batch_size, dim), jnp.float32)
+        f, s, l = step(f, s, (z, beta))
+        return (f, s), l
 
-        keys = jax.random.split(key, nsteps)
-        (flow, opt_state), losses = jax.lax.scan(
-            body, (flow, opt_state), (keys, jnp.arange(nsteps))
-        )
-        return flow, opt_state, losses
+    keys = jax.random.split(key, nsteps)
+    idxs = jnp.arange(nsteps)
 
-    flow, opt_state, loss_hist = run(flow, opt_state, key)
-    return TrainResult(result=flow, optimizer_state=opt_state, loss_hist=loss_hist)
+    if chunk_size is None:
+        @jax.jit
+        def run(flow, opt_state, keys, idxs):
+            (flow, opt_state), losses = jax.lax.scan(
+                body, (flow, opt_state), (keys, idxs)
+            )
+            return flow, opt_state, losses
+
+        flow, opt_state, loss_hist = run(flow, opt_state, keys, idxs)
+        return TrainResult(result=flow, optimizer_state=opt_state,
+                           loss_hist=loss_hist)
+
+    chunk_run = jax.jit(lambda flow, opt_state, keys, idxs: jax.lax.scan(
+        body, (flow, opt_state), (keys, idxs)))
+    hists = []
+    carry = (flow, opt_state)
+    for lo in range(0, nsteps, chunk_size):
+        hi = min(lo + chunk_size, nsteps)
+        carry, losses = chunk_run(carry[0], carry[1], keys[lo:hi], idxs[lo:hi])
+        hists.append(losses)
+    flow, opt_state = carry
+    return TrainResult(result=flow, optimizer_state=opt_state,
+                       loss_hist=jnp.concatenate(hists))
 
 
 def _freeze_all_but(chain: Chain, i: int) -> Chain:

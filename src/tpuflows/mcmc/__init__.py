@@ -11,7 +11,8 @@ from tpuflows.mcmc.dual_averaging import (
     welford_update_batch,
     welford_variance,
 )
-from tpuflows.mcmc.sample import MCMCResult, run_nuts
+from tpuflows.mcmc.sample import (MCMCResult, NUTSDriver, NUTSState,
+                                  nuts_draws, nuts_warmup, run_nuts)
 from tpuflows.mcmc.mh import (
     MHInfo,
     MHResult,
@@ -39,7 +40,8 @@ __all__ = [
     "DualAveragingState", "WelfordState", "da_init", "da_step_size",
     "da_update", "welford_init", "welford_merge", "welford_update_batch",
     "welford_variance",
-    "MCMCResult", "run_nuts",
+    "MCMCResult", "run_nuts", "NUTSState", "NUTSDriver", "nuts_warmup",
+    "nuts_draws",
     "MHInfo", "MHResult", "make_rwmh_kernel", "run_rwmh",
     "make_flow_imh_kernel", "run_flow_imh",
     "EnsembleResult", "run_ensemble",

@@ -64,11 +64,13 @@ def fit_vi(
     nsteps: int = 1000,
     anneal_steps: int = 0,
     stl: bool = False,
+    chunk_size: Optional[int] = None,
 ) -> VIResult:
     """Fit the flow as a VI family by maximizing the ELBO (reverse KL).
     `anneal_steps` ramps the target temperature (see
     optimize_flow_reverse_kl) — use ~nsteps/2 for funnel-like targets;
-    `stl` uses the sticking-the-landing gradient estimator."""
+    `stl` uses the sticking-the-landing gradient estimator; `chunk_size`
+    bounds single-device-program length (see optimize_flow_reverse_kl)."""
     k_train, k_eval = jax.random.split(key)
     res = optimize_flow_reverse_kl(
         k_train,
@@ -80,6 +82,7 @@ def fit_vi(
         nsteps=nsteps,
         anneal_steps=anneal_steps,
         stl=stl,
+        chunk_size=chunk_size,
     )
     if stl:
         # STL loss = -(E[log p - log q]) = -ELBO estimate directly.
