@@ -58,6 +58,11 @@ class SMCConfig(NamedTuple):
     retrain_epochs: int = 20
     retrain_batches: int = 8
     retrain_lr: float = 1e-3
+    # Sharded resampling transport: None = auto (ppermute block exchange
+    # when the global particle payload exceeds ~4M elements — config 5's
+    # 64k x 256-d regime; all_gather below that), True = always gather,
+    # False = always exchange. See dist/resample.py.
+    gather_resample: object = None
 
 
 class SMCResult(NamedTuple):
@@ -137,8 +142,12 @@ def _make_stage(log_density, cfg: SMCConfig, n_global: int, axis_name=None):
         else:
             from tpuflows.dist.resample import resample_sharded
 
+            gather = cfg.gather_resample
+            if gather is None:
+                gather = n_global * x.shape[-1] < (1 << 22)
             (x_rs, lq_rs), _ = resample_sharded(
-                k_resample, (x, log_q0_x), log_w, axis_name
+                k_resample, (x, log_q0_x), log_w, axis_name,
+                gather_particles=bool(gather),
             )
         x = jnp.where(do_resample, x_rs, x)
         log_q0_x = jnp.where(do_resample, lq_rs, log_q0_x)

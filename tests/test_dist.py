@@ -50,6 +50,72 @@ def test_resample_sharded_matches_local(mesh):
     assert jnp.allclose(jnp.asarray(x_dist), x_local)
 
 
+@pytest.mark.parametrize("n_shards", [1, 2, 4, 8])
+@pytest.mark.parametrize("weights", ["balanced", "degenerate"])
+def test_resample_exchange_matches_gather(n_shards, weights):
+    """ppermute block exchange == all_gather path == single-device take,
+    at every shard count, including fully degenerate weights (all mass on
+    one shard => hops spans the ring)."""
+    n, d = 64, 3
+    key = jax.random.key(0)
+    x = jax.random.normal(jax.random.key(1), (n, d))
+    if weights == "balanced":
+        log_w = 0.1 * jax.random.normal(jax.random.key(2), (n,))
+    else:
+        # all mass on the LAST shard's particles
+        log_w = jnp.where(jnp.arange(n) >= n - n // max(n_shards, 2),
+                          0.0, -100.0)
+    mesh = worker_mesh(n_shards)
+
+    idx_local = systematic_indices(key, log_w)
+    x_local = jnp.take(x, idx_local, axis=0)
+
+    def body(gather):
+        def f(key, x, log_w):
+            (out,), anc = resample_sharded(key, (x,), log_w,
+                                           gather_particles=gather)
+            return out, anc
+        return jax.jit(shard_map(
+            f, mesh=mesh,
+            in_specs=(P(), P(WORKERS), P(WORKERS)),
+            out_specs=(P(WORKERS), P(WORKERS)),
+            check_vma=False,
+        ))
+
+    x_g, anc_g = body(True)(key, x, log_w)
+    x_e, anc_e = body(False)(key, x, log_w)
+    assert jnp.array_equal(jnp.asarray(anc_e), idx_local)
+    assert jnp.allclose(jnp.asarray(x_e), x_local)
+    assert jnp.allclose(jnp.asarray(x_e), jnp.asarray(x_g))
+
+
+def test_resample_exchange_pytree_payload():
+    """Exchange path carries a multi-leaf pytree (positions + cached
+    log-densities) by the same ancestors."""
+    n, d = 32, 2
+    mesh = worker_mesh(4)
+    key = jax.random.key(3)
+    x = jax.random.normal(jax.random.key(4), (n, d))
+    lp = jax.random.normal(jax.random.key(5), (n,))
+    log_w = jax.random.normal(jax.random.key(6), (n,))
+
+    idx = systematic_indices(key, log_w)
+
+    def f(key, x, lp, log_w):
+        (xo, lpo), _ = resample_sharded(key, (x, lp), log_w,
+                                        gather_particles=False)
+        return xo, lpo
+
+    xo, lpo = jax.jit(shard_map(
+        f, mesh=mesh,
+        in_specs=(P(), P(WORKERS), P(WORKERS), P(WORKERS)),
+        out_specs=(P(WORKERS), P(WORKERS)),
+        check_vma=False,
+    ))(key, x, lp, log_w)
+    assert jnp.allclose(jnp.asarray(xo), jnp.take(x, idx, axis=0))
+    assert jnp.allclose(jnp.asarray(lpo), jnp.take(lp, idx, axis=0))
+
+
 def test_optimize_flow_dp_trains(mesh):
     target = DiagNormal(loc=jnp.array([1.0, -1.0]), scale=jnp.array([0.5, 2.0]))
     samples = target.sample(jax.random.key(0), 2048)
