@@ -58,6 +58,14 @@ class AdaptiveConfig(NamedTuple):
     train_batches: int = 16
     learning_rate: float = 1e-3
     use_pallas: bool = False
+    # -- adaptive GROWTH (reference append-module helpers, SURVEY.md §2a
+    # row 2): when the flow-as-proposal quality stalls between rounds and
+    # is still below `grow_is_ess_target`, append a fresh coupling block
+    # (mask alternated past the existing blocks) before the next retrain.
+    grow_on_stall: bool = False
+    grow_is_ess_target: float = 0.5  # rel IS-ESS above which growth stops
+    grow_min_gain: float = 1.1  # stall = is_ess < prev * this
+    max_grown_blocks: int = 4
 
 
 class AdaptiveRound(NamedTuple):
@@ -136,8 +144,30 @@ def adaptive_fit(
             if verbose:
                 print(f"[adaptive] resumed at round {start_round}")
 
+    n_grown = 0
     for rnd in range(start_round, cfg.max_rounds):
-        key, k_sample, k_build, k_train, k_is = jax.random.split(key, 5)
+        key, k_sample, k_build, k_train, k_is, k_grow = jax.random.split(
+            key, 6)
+
+        # -- 0. growth: append a coupling block when the flow stalled ------
+        if (cfg.grow_on_stall and flow is not None and len(rounds) >= 2
+                and n_grown < cfg.max_grown_blocks):
+            is_now = float(rounds[-1].flow_is_ess)
+            is_prev = float(rounds[-2].flow_is_ess)
+            if (is_now < cfg.grow_is_ess_target
+                    and is_now < is_prev * cfg.grow_min_gain):
+                from tpuflows.flows.coupling import RQSCouplingBlock
+                from tpuflows.util.shapes import alternating_mask
+
+                mask = alternating_mask(dim, len(flow.transforms) % 2)
+                flow = flow.append(RQSCouplingBlock.init(
+                    k_grow, mask, knots=cfg.knots, hidden=cfg.hidden,
+                    use_pallas=cfg.use_pallas))
+                n_grown += 1
+                if verbose:
+                    print(f"[adaptive round {rnd}] grew flow to "
+                          f"{len(flow.transforms)} modules "
+                          f"(is_ess stalled at {is_now:.3f})")
 
         # -- 1. sample (latent space once a flow exists) -------------------
         if flow is None:

@@ -159,7 +159,8 @@ def resample_sharded(key: jax.Array, particles, log_w: jax.Array,
     small payloads); `False` uses the ppermute block exchange
     (`sharded_take_exchange`) — O(n_local * d) memory and, under balanced
     weights, O(n_local * d) traffic; identical results either way."""
-    anc = sharded_ancestors(key, log_w, axis_name)
+    with jax.named_scope("resample_ancestors"):
+        anc = sharded_ancestors(key, log_w, axis_name)
     if gather_particles:
         out = jax.tree_util.tree_map(
             lambda a: sharded_take(a, anc, axis_name), particles

@@ -26,9 +26,18 @@ def build_flow(
     mask_scheme: str = "alternating",
     clamp: float = 4.0,
     n_leading: int = 1,
+    modules=None,
 ) -> Chain:
     """Construct standardization + coupling-module flow fitted-to-start on an
     (N, d) sample matrix (forward maps data -> standard-normal base).
+
+    `modules`: the reference's user-supplied module list
+    (`build_flow(samples; modules=[...])`, SURVEY.md §2a row 2). Each item
+    is either a ready Bijector (used as-is) or a callable
+    `(samples, key) -> Bijector` (fitted/initialized from the samples, e.g.
+    `Standardize.from_samples` wrapped, or a partial of
+    `RQSCouplingBlock.init`). When given, `kind`/`n_blocks`/masks are
+    ignored and the chain is exactly the listed modules.
 
     mask_scheme: "alternating" = checkerboard only; "mixed" cycles
     checkerboard-even/odd and first/second-half block masks — block masks
@@ -44,6 +53,15 @@ def build_flow(
     e^{+-4}=55x dynamic range; funnel-style targets need the clamp to cover
     the scale range at the v-prior's tails (bench: +-8)."""
     dim = samples.shape[-1]
+
+    if modules is not None:
+        keys = jax.random.split(key, max(len(modules), 1))
+        built = tuple(
+            m if hasattr(m, "forward_and_ladj") else m(samples, keys[i])
+            for i, m in enumerate(modules)
+        )
+        return Chain(transforms=built)
+
     std = Standardize.from_samples(samples)
 
     def mask_for(i: int):

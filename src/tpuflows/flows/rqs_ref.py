@@ -177,8 +177,10 @@ def rqs_inverse(y: jax.Array, knots: SplineKnots):
 
 
 def rqs_forward_from_raw(x, raw, range_limit: float = DEFAULT_RANGE):
-    return rqs_forward(x, normalize_params(raw, range_limit))
+    with jax.named_scope("rqs_forward"):
+        return rqs_forward(x, normalize_params(raw, range_limit))
 
 
 def rqs_inverse_from_raw(y, raw, range_limit: float = DEFAULT_RANGE):
-    return rqs_inverse(y, normalize_params(raw, range_limit))
+    with jax.named_scope("rqs_inverse"):
+        return rqs_inverse(y, normalize_params(raw, range_limit))

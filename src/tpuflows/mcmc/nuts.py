@@ -169,6 +169,10 @@ def make_nuts_kernel(
             sum_accept=sum_accept, n_leaf=leaf_idx,
         )
 
+    def _transition(key, q, eps, inv_mass):
+        with jax.named_scope("nuts_transition"):
+            return transition(key, q, eps, inv_mass)
+
     def transition(key, q, eps, inv_mass):
         d = q.shape[-1]
         k_mom, k_loop = jax.random.split(key)
@@ -256,4 +260,4 @@ def make_nuts_kernel(
         )
         return q_prop, info
 
-    return transition
+    return _transition

@@ -7,18 +7,23 @@ writes checkpoints when `output_dir` is set.
 """
 from __future__ import annotations
 
-import json
+import os
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 import optax
 
+from tpuflows.util.profiling import MetricsLogger, Timer
+
+# JSONL metrics: stdout on process 0, plus a file when TPUFLOWS_METRICS is
+# set (SURVEY.md §5 observability channel).
+_metrics = MetricsLogger(path=os.environ.get("TPUFLOWS_METRICS"),
+                         stream=sys.stdout)
+
 
 def _emit(record: dict) -> None:
-    if jax.process_index() == 0:
-        print(json.dumps(record), flush=True)
+    _metrics.log(**record)
 
 
 def run(cfg) -> dict:
@@ -35,7 +40,7 @@ def run(cfg) -> dict:
     target = cfg.target.build()
     dim = cfg.target.dim
     k_data, k_build, k_task = jax.random.split(key, 3)
-    t0 = time.perf_counter()
+    timer = Timer()
 
     if cfg.task == "fit":
         samples = target.sample(k_data, cfg.train.n_fit_samples)
@@ -160,7 +165,7 @@ def run(cfg) -> dict:
         raise ValueError(f"unknown task: {cfg.task!r}")
 
     out.update({"name": cfg.name, "task": cfg.task,
-                "wall_s": round(time.perf_counter() - t0, 2)})
+                "wall_s": round(timer.stop(sync_on=state), 2)})
     if cfg.output_dir:
         save_pytree(f"{cfg.output_dir}/{cfg.name}_state", state)
     _emit(out)

@@ -164,7 +164,8 @@ def _make_stage(log_density, cfg: SMCConfig, n_global: int, axis_name=None):
         def mutate(pos, eps, logp_fn, inv_mass):
             """n_mutation_steps pooled-adaptive HMC sweeps: the step size
             updates BETWEEN sweeps from the cross-shard mean acceptance, so
-            it converges within the stage (within-SMC adaptation)."""
+            it converges within the stage (within-SMC adaptation).
+            (XProf phase: smc_mutation — set via named_scope below.)"""
 
             def sweep(carry, k):
                 pos, eps = carry
@@ -180,7 +181,8 @@ def _make_stage(log_density, cfg: SMCConfig, n_global: int, axis_name=None):
                 return (pos, eps), mean_acc
 
             step_keys = jax.random.split(k_mutate, cfg.n_mutation_steps)
-            (pos, eps), accs = jax.lax.scan(sweep, (pos, eps), step_keys)
+            with jax.named_scope("smc_mutation"):
+                (pos, eps), accs = jax.lax.scan(sweep, (pos, eps), step_keys)
             return pos, eps, jnp.mean(accs)
 
         if cfg.latent_mutation:

@@ -1,4 +1,4 @@
 from tpuflows.util.pytree import pytree_dataclass, static_field
-from tpuflows.util import prng, shapes
+from tpuflows.util import shapes
 
-__all__ = ["pytree_dataclass", "static_field", "prng", "shapes"]
+__all__ = ["pytree_dataclass", "static_field", "shapes"]

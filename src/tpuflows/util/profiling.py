@@ -55,9 +55,12 @@ class Timer:
 class MetricsLogger:
     """JSONL metrics on process 0. Each record gets a wall timestamp."""
 
-    def __init__(self, path: Optional[str] = None):
+    def __init__(self, path: Optional[str] = None, stream=None):
+        """`path`: append JSONL to a file; otherwise write to `stream`
+        (default stderr). Only process 0 emits."""
         self._active = jax.process_index() == 0
         self._fh = open(path, "a") if (path and self._active) else None
+        self._stream = stream
 
     def log(self, **record) -> None:
         if not self._active:
@@ -71,7 +74,7 @@ class MetricsLogger:
             self._fh.write(line + "\n")
             self._fh.flush()
         else:
-            print(line, file=sys.stderr, flush=True)
+            print(line, file=self._stream or sys.stderr, flush=True)
 
     def close(self) -> None:
         if self._fh is not None:

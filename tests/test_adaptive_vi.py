@@ -86,3 +86,58 @@ def test_vi_log_q_normalized():
     # ELBO of q against itself equals entropy consistency: E_q[log q] finite
     # and the importance identity E_q[ exp(-log q) ] ~ volume check skipped;
     # core check: round-trip consistency of sample/log_q shapes + finiteness.
+
+
+def test_adaptive_growth_appends_blocks():
+    """grow_on_stall: a stalled flow gains coupling blocks between rounds
+    (reference's append-module adaptive growth, SURVEY.md §2a row 2)."""
+    target = GaussianMixture.bimodal(dim=2, separation=4.0)
+    cfg = AdaptiveConfig(
+        max_rounds=4,
+        ess_threshold=1e9,  # never converge: exercise all rounds
+        n_chains=16,
+        num_warmup=60,
+        num_samples=60,
+        flow_kind="affine",
+        n_blocks=1,
+        hidden=(8,),
+        train_epochs=5,
+        train_batches=4,
+        grow_on_stall=True,
+        grow_is_ess_target=1.1,  # unreachable => always below target
+        grow_min_gain=1e9,  # any round counts as a stall
+        max_grown_blocks=2,
+    )
+    res = adaptive_fit(jax.random.key(0), target.log_density, 2, cfg)
+    # initial flow: standardize + 1 affine block = 2 modules; rounds 2 and 3
+    # (first rounds with >= 2 records) each append one RQS block
+    assert len(res.flow.transforms) == 4
+    # the grown flow still round-trips exactly
+    x = jax.random.normal(jax.random.key(1), (64, 2))
+    z, ladj_f = res.flow.forward_and_ladj(x)
+    x2, ladj_i = res.flow.inverse_and_ladj(z)
+    assert jnp.allclose(x2, x, atol=1e-4)
+    assert jnp.allclose(ladj_f, -ladj_i, atol=1e-4)
+
+
+def test_build_flow_user_module_list():
+    """build_flow(samples, key, modules=[...]): ready bijectors and
+    (samples, key)->Bijector constructors mix freely (reference
+    `build_flow(samples; modules)` parity)."""
+    from tpuflows.flows import AffineCoupling, RQSCouplingBlock, Standardize
+
+    samples = 2.0 * jax.random.normal(jax.random.key(0), (512, 4)) + 1.0
+    flow = build_flow(
+        samples, jax.random.key(1),
+        modules=[
+            lambda s, k: Standardize.from_samples(s),
+            lambda s, k: AffineCoupling.init(k, (1, 0, 1, 0), hidden=(16,)),
+            RQSCouplingBlock.init(jax.random.key(2), (0, 1, 0, 1), knots=4,
+                                  hidden=(16,)),
+        ])
+    assert len(flow.transforms) == 3
+    x = samples[:32]
+    z, ladj_f = flow.forward_and_ladj(x)
+    x2, ladj_i = flow.inverse_and_ladj(z)
+    assert jnp.allclose(x2, x, atol=1e-4)
+    assert jnp.allclose(ladj_f, -ladj_i, atol=1e-4)
