@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import chex
 import jax
 import jax.numpy as jnp
 import optax
@@ -67,6 +68,26 @@ def _pmean_if(axis_name, tree):
     return jax.lax.pmean(tree, axis_name)
 
 
+def _check_finite_loss(loss_hist) -> None:
+    """Boundary sanitizer (SURVEY.md §5): a non-finite training loss is an
+    engine failure — surface it at the subsystem boundary with the step
+    index instead of letting NaN params poison downstream sampling. One
+    host sync per training call (negligible; training is not a hot loop
+    caller). Skipped when tracing (e.g. optimize_flow inside
+    optimize_flow_dp's shard_map) — concrete values don't exist there."""
+    import numpy as np
+
+    if isinstance(loss_hist, jax.core.Tracer):
+        return
+    h = np.asarray(loss_hist)
+    if not np.isfinite(h[-1]):
+        bad = int(np.argmax(~np.isfinite(h)))
+        raise FloatingPointError(
+            f"flow training diverged: loss became non-finite at step {bad} "
+            f"of {h.size} (loss_hist[-1]={h[-1]})"
+        )
+
+
 def make_train_step(
     optimizer: optax.GradientTransformation,
     loss_fn: Callable,
@@ -109,6 +130,7 @@ def optimize_flow(
     """
     if optimizer is None:
         optimizer = optax.adam(1e-3)
+    chex.assert_rank(samples, 2)  # (N, d) sample matrix
     n = samples.shape[0]
     bs = n // nbatches
     if bs == 0:
@@ -147,6 +169,7 @@ def optimize_flow(
         return flow, opt_state, losses.reshape(-1)
 
     flow, opt_state, loss_hist = run(flow, opt_state, epoch_keys)
+    _check_finite_loss(loss_hist)
     return TrainResult(result=flow, optimizer_state=opt_state, loss_hist=loss_hist)
 
 
@@ -215,8 +238,10 @@ def make_reverse_kl_trainer(
             carry, losses = chunk_run(carry[0], carry[1], keys[lo:hi],
                                       idxs[lo:hi])
             hists.append(losses)
+        loss_hist = jnp.concatenate(hists)
+        _check_finite_loss(loss_hist)
         return TrainResult(result=carry[0], optimizer_state=carry[1],
-                           loss_hist=jnp.concatenate(hists))
+                           loss_hist=loss_hist)
 
     return train
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Callable, NamedTuple, Optional
 
+import chex
 import jax
 import jax.numpy as jnp
 
@@ -91,6 +92,7 @@ def run_nuts(
     Use for long runs: bounds single-program runtime (the axon TPU tunnel
     kills programs running many minutes) and keeps results IDENTICAL to
     the unchunked run (same keys, same scan bodies)."""
+    chex.assert_rank(init_positions, 2)  # (n_chains, d)
     n_chains, d = init_positions.shape
     kernel = make_nuts_kernel(log_density, max_depth=max_depth)
     eps_axis = 0 if per_chain_step_size else None
@@ -276,6 +278,7 @@ class NUTSDriver:
         initial_step_size: float = 0.1,
         chunk_size: Optional[int] = None,
     ) -> NUTSState:
+        chex.assert_rank(init_positions, 2)  # (n_chains, d)
         n_chains, d = init_positions.shape
         eps0 = (jnp.full((n_chains,), initial_step_size, jnp.float32)
                 if self.per_chain_step_size else

@@ -155,8 +155,10 @@ def run(cfg) -> dict:
             from tpuflows.dist import worker_mesh
 
             mesh = worker_mesh()
+        ckpt = f"{cfg.output_dir}/smc_ckpt" if cfg.output_dir else None
         res = run_smc(k_task, target.log_density, flow, dim,
-                      cfg.smc.to_smc_config(), mesh=mesh, verbose=True)
+                      cfg.smc.to_smc_config(), mesh=mesh, verbose=True,
+                      checkpoint_dir=ckpt)
         out = {"n_stages": res.n_stages, "log_z": float(res.log_z),
                "final_beta": float(res.betas[-1]),
                "mean_accept": float(jnp.mean(res.accept_hist))}

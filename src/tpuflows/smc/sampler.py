@@ -213,6 +213,7 @@ def run_smc(
     config: SMCConfig = SMCConfig(),
     mesh=None,
     verbose: bool = False,
+    checkpoint_dir=None,
 ) -> SMCResult:
     """Annealed SMC from the flow's variational density to `log_density`.
 
@@ -222,6 +223,13 @@ def run_smc(
     particle axis is sharded and every stage runs under shard_map with
     collective reductions + the distributed resampler (config 5,
     BASELINE.json:11).
+
+    With `checkpoint_dir`, every completed stage checkpoints the full SMC
+    state (particles, weights, temperatures, flow, PRNG key) and a fresh
+    call resumes from the latest stage — kill -9 mid-run loses at most one
+    stage (SURVEY.md §5 failure recovery; exercised by
+    tests/test_smc_resume.py with a real subprocess kill). Single-controller
+    scope: under a mesh the arrays must be process-addressable.
     """
     cfg = config
     n = cfg.n_particles
@@ -266,7 +274,32 @@ def run_smc(
     betas, ess_hist, accept_hist = [], [], []
     opt = optax.adam(cfg.retrain_lr)
 
-    for stage_idx in range(cfg.max_stages):
+    start_stage = 0
+    if checkpoint_dir is not None:
+        from tpuflows.io import latest_checkpoint, load_pytree
+
+        latest = latest_checkpoint(checkpoint_dir, prefix="smc_")
+        if latest is not None:
+            st = load_pytree(latest)
+            x, log_w, log_q0_x = st["x"], st["log_w"], st["log_q0_x"]
+            beta, eps, log_z, key = st["beta"], st["eps"], st["log_z"], st["key"]
+            flow = st["flow"]
+            betas = list(st["betas"])
+            ess_hist = list(st["ess_hist"])
+            accept_hist = list(st["accept_hist"])
+            start_stage = int(st["next_stage"])
+            if mesh is not None:
+                from tpuflows.dist.mesh import replicated, row_sharded
+
+                x = jax.device_put(x, row_sharded(mesh))
+                log_w = jax.device_put(log_w, row_sharded(mesh))
+                log_q0_x = jax.device_put(log_q0_x, row_sharded(mesh))
+                flow = jax.device_put(flow, replicated(mesh))
+            if verbose:
+                print(f"[smc] resumed at stage {start_stage} "
+                      f"beta={float(beta):.4f}")
+
+    for stage_idx in range(start_stage, cfg.max_stages):
         key, k_stage, k_train = jax.random.split(key, 3)
         (x, log_w, log_q0_x, beta, eps, log_z_inc, rel_ess, mean_acc) = stage(
             k_stage, x, log_w, log_q0_x, beta, eps, flow
@@ -286,11 +319,34 @@ def run_smc(
         # mutation preconditioning only, keeping the path valid)
         if cfg.retrain_every and (stage_idx + 1) % cfg.retrain_every == 0 \
                 and float(beta) < 1.0:
-            res = optimize_flow(
-                k_train, x, flow, opt,
-                nbatches=cfg.retrain_batches, nepochs=cfg.retrain_epochs,
-            )
+            if mesh is None:
+                res = optimize_flow(
+                    k_train, x, flow, opt,
+                    nbatches=cfg.retrain_batches, nepochs=cfg.retrain_epochs,
+                )
+            else:
+                # the particle matrix is row-sharded: retrain through the
+                # repo's own DP trainer (per-shard grads pmean'd over the
+                # mesh) instead of relying on GSPMD to lay out a plain jit
+                from tpuflows.dist.train import optimize_flow_dp
+
+                res = optimize_flow_dp(
+                    k_train, x, flow, mesh, optimizer=opt,
+                    nbatches=cfg.retrain_batches, nepochs=cfg.retrain_epochs,
+                )
             flow = res.result
+        if checkpoint_dir is not None:
+            from tpuflows.io import save_pytree
+
+            save_pytree(f"{checkpoint_dir}/smc_{stage_idx + 1}", {
+                "x": x, "log_w": log_w, "log_q0_x": log_q0_x,
+                "beta": beta, "eps": eps, "log_z": log_z, "key": key,
+                "flow": flow,
+                "betas": [jnp.asarray(b) for b in betas],
+                "ess_hist": [jnp.asarray(e) for e in ess_hist],
+                "accept_hist": [jnp.asarray(a) for a in accept_hist],
+                "next_stage": jnp.asarray(stage_idx + 1),
+            })
         if float(beta) >= 1.0:
             break
 

@@ -113,6 +113,7 @@ def test_nuts_divergence_flagged_on_huge_step():
     assert bool(jnp.any(info.diverging))
 
 
+@pytest.mark.slow
 def test_flow_preconditioned_funnel():
     """Train a flow on exact funnel draws, then NUTS in latent space —
     the config-4 pattern (BASELINE.json:10) at test scale."""

@@ -27,32 +27,50 @@ def _diag(cov):
 
 
 def test_gate_c1_std_normal_flow_fit():
-    """Config 1: flow fit on exact samples; gate on flow draws. The flow
-    cannot beat its training set, so the claimed ESS is the training size."""
+    """Config 1: flow fit on exact samples; gate on flow draws,
+    MULTI-SEED CALIBRATED (round-1 review: a single hand-picked eval key
+    hid a 4.4-sigma outlier; this version distinguishes a fit bias — every
+    seed deviating the same way — from sampling chance — rare independent
+    outliers). The flow cannot beat its training set, so the claimed ESS
+    is the training size."""
     t = StandardNormal(dim=2)
     samples = t.sample(jax.random.key(0), 8192)
     flow = build_flow(samples, jax.random.key(1), kind="affine",
                       n_blocks=1, hidden=(32,))
     import optax
 
+    import numpy as np
+
     from tpuflows.flows import optimize_flow
 
     opt = optax.adam(optax.cosine_decay_schedule(5e-4, 200 * 8))
     res = optimize_flow(jax.random.key(2), samples, flow, opt,
                         nbatches=8, nepochs=200)
-    # NOTE key(3) draws a 4.4-sigma variance outlier at this n — a real
-    # property of that seed, not an engine bug; use a typical key.
+    tm, tv = jnp.mean(samples, 0), jnp.var(samples, 0)
+    # 12 independent eval draws (includes the round-1 "outlier" key(3))
+    gates = []
+    for seed in range(3, 15):
+        x = res.result.inverse(
+            jax.random.normal(jax.random.key(seed), (16384, 2)))
+        gates.append(moment_gate(x, tm, tv, ess=16384))
+    n_pass = sum(g.passed for g in gates)
+    sig_var = np.array([g.max_sigma_var for g in gates])
+    sig_mean = np.array([g.max_sigma_mean for g in gates])
+    # A calibrated 3-sigma gate on 2 dims passes ~99% of seeds; a variance
+    # BIAS in the fit would fail most seeds in the same direction.
+    assert n_pass >= 10, (n_pass, sig_mean.round(2), sig_var.round(2))
+    # the typical deviation must look like noise, not bias: the median
+    # worst-of-2-dims |z| for a calibrated gate sits near 1.1 (max of two
+    # half-normals); allow generous slack but catch a systematic shift
+    assert float(np.median(sig_var)) < 2.0, sig_var.round(2)
+    assert float(np.median(sig_mean)) < 2.0, sig_mean.round(2)
+    # loose absolute sanity band vs the TRUE moments
     x = res.result.inverse(jax.random.normal(jax.random.key(5), (16384, 2)))
-    # the trained flow targets the MLE of its TRAINING SET — gate against
-    # the training-sample moments (machinery test), plus a loose absolute
-    # sanity band vs the true moments (statistics test)
-    gate = moment_gate(x, jnp.mean(samples, 0), jnp.var(samples, 0),
-                       ess=16384)
-    assert gate.passed, gate
     assert bool(jnp.all(jnp.abs(jnp.mean(x, 0)) < 0.1))
     assert bool(jnp.all(jnp.abs(jnp.var(x, 0) - 1.0) < 0.1))
 
 
+@pytest.mark.slow
 def test_gate_c2_correlated_reverse_kl():
     """Config 2: 8-d AR(1) Gaussian via reverse-KL RQS flow."""
     t = CorrelatedGaussian.ar1(dim=8, rho=0.8)
@@ -66,6 +84,7 @@ def test_gate_c2_correlated_reverse_kl():
     assert gate.passed, gate
 
 
+@pytest.mark.slow
 def test_gate_c3_mixture_nuts():
     """Config 3 target: bimodal mixture sampled by plain NUTS at CI scale
     (the adaptive loop itself is covered in test_adaptive_vi)."""
@@ -77,6 +96,7 @@ def test_gate_c3_mixture_nuts():
     assert gate.passed, gate
 
 
+@pytest.mark.slow
 def test_gate_c4_funnel_flow_nuts():
     """Config 4 (CI scale): flow-preconditioned NUTS on an 8-d funnel."""
     t = NealsFunnel(dim=8)
@@ -107,6 +127,7 @@ def test_gate_c4_funnel_flow_nuts():
     assert gate.passed, gate
 
 
+@pytest.mark.slow
 def test_gate_c5_hierarchical_smc():
     """Config 5 (CI scale): 18-d hierarchical posterior via flow-bridged
     SMC, gated against the EXACT quadrature moments."""
