@@ -5,6 +5,12 @@ from tpuflows.dist.mesh import (
     row_sharded,
     worker_mesh,
 )
+from tpuflows.dist.failures import (
+    CollectiveTimeout,
+    FailurePolicy,
+    heartbeat,
+    run_with_timeout,
+)
 from tpuflows.dist.resample import resample_sharded
 from tpuflows.dist.train import optimize_flow_dp
 from tpuflows.dist.chains import run_nuts_sharded
@@ -15,6 +21,10 @@ __all__ = [
     "replicated",
     "row_sharded",
     "worker_mesh",
+    "CollectiveTimeout",
+    "FailurePolicy",
+    "heartbeat",
+    "run_with_timeout",
     "resample_sharded",
     "optimize_flow_dp",
     "run_nuts_sharded",

@@ -27,6 +27,18 @@ def _emit(record: dict) -> None:
 
 
 def run(cfg) -> dict:
+    """Execute one config. The whole task runs under the env-configured
+    FailurePolicy (TPUFLOWS_COLLECTIVE_TIMEOUT_S): on a multi-host mesh a
+    dead peer turns the next collective into a hang, the watchdog converts
+    the hang into a process exit, and the supervisor restarts every worker
+    from the last per-stage checkpoint (SURVEY.md §5 failure detection)."""
+    from tpuflows.dist import FailurePolicy
+
+    policy = FailurePolicy.from_env()
+    return policy.guard(_run_task, cfg, phase=f"task:{cfg.task}")
+
+
+def _run_task(cfg) -> dict:
     from tpuflows.adaptive import adaptive_fit
     from tpuflows.diagnostics import effective_sample_size, split_rhat
     from tpuflows.flows import build_flow, optimize_flow
