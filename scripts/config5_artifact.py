@@ -1,0 +1,117 @@
+"""Config-5 full-spec artifact run (BASELINE.json:11): 256-d hierarchical
+posterior, flow-bridged SMC, 64k particles, sharded path with the
+block-exchange distributed resampler, gated against the target's EXACT
+quadrature moments within 3 MC-sigma (BASELINE.json:5).
+
+On the single available TPU chip this runs the same sharded code path as a
+pod (shard_map + collectives over a 1-device mesh; the >4M-element payload
+auto-selects the ppermute block-exchange resampler) — multi-host numbers
+need pod hardware; cross-device semantics are validated by the 8-virtual-
+device CI tier and `__graft_entry__.dryrun_multichip`.
+
+Prints one JSON line; exits 1 if the moment gate fails.
+
+Usage: python scripts/config5_artifact.py [--particles 65536] [--dim 256]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", "src"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--particles", type=int, default=65536)
+    ap.add_argument("--dim", type=int, default=256)
+    ap.add_argument("--ess-divisor", type=float, default=16.0,
+                    help="conservative effective-draw claim: n/divisor "
+                         "(final-reweight degeneracy + mutation autocorr)")
+    ap.add_argument("--out", default=None, help="also write JSON here")
+    ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
+    args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from tpuflows.dist import worker_mesh
+    from tpuflows.diagnostics import moment_gate
+    from tpuflows.flows import build_flow, optimize_flow
+    from tpuflows.smc import SMCConfig, run_smc
+    from tpuflows.targets import HierarchicalGaussian
+
+    t = HierarchicalGaussian.standard(dim=args.dim)
+    mesh = worker_mesh()
+
+    # Bridge flow: the hierarchical posterior is conditionally Gaussian
+    # given (mu, log_tau), so an affine coupling with a 2-dim leading mask
+    # CONTAINS the exact transport (same family trick as bench.py's funnel
+    # flow). Pretrain on PRIOR draws (always available for a Bayesian
+    # model; no posterior oracle used), then let the in-SMC bridge retrain
+    # (every 2 stages, on the current particles) adapt it toward the
+    # posterior — the AdaptiveFlows train-sample-retrain paradigm inside
+    # the annealing path. Measured at dim=18: this passes the 3-MC-sigma
+    # gate with theta-variance ratio 0.99, where an RQS flow pretrained by
+    # forward KL on posterior draws collapsed the funnel (var ratio 0.55,
+    # IS ESS <=1.3%).
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    mu = t.prior_mu_scale * jax.random.normal(k1, (8192, 1))
+    lt = jax.random.normal(k2, (8192, 1))
+    th = mu + jnp.exp(lt) * jax.random.normal(k3, (8192, args.dim - 2))
+    prior_draws = jnp.concatenate([mu, lt, th], -1)
+    flow = build_flow(prior_draws, jax.random.key(1), kind="affine",
+                      mask_scheme="leading", n_leading=2, n_blocks=2,
+                      hidden=(128, 128), clamp=8.0)
+    t0 = time.perf_counter()
+    fres = optimize_flow(jax.random.key(3), prior_draws, flow,
+                         optax.adam(2e-3), nbatches=8, nepochs=60)
+    flow = fres.result
+    float(jnp.sum(flow.forward(prior_draws[:1])[0]))  # sync
+    pretrain_s = time.perf_counter() - t0
+
+    cfg = SMCConfig(n_particles=args.particles, n_mutation_steps=5,
+                    n_leapfrog=8, target_rel_ess=0.8, max_stages=100,
+                    latent_mutation=True, retrain_every=2)
+    t0 = time.perf_counter()
+    res = run_smc(jax.random.key(2), t.log_density, flow, args.dim, cfg,
+                  mesh=mesh, verbose=True)
+    float(jnp.sum(res.particles))  # host readback forces completion
+    smc_s = time.perf_counter() - t0
+
+    gate = moment_gate(res.particles, t.mean(), np.diag(t.cov()),
+                       ess=args.particles / args.ess_divisor)
+    row = {
+        "artifact": "config5_hierarchical_smc_fullspec",
+        "dim": args.dim,
+        "n_particles": args.particles,
+        "n_devices": len(mesh.devices.flat),
+        "backend": jax.default_backend(),
+        "n_stages": res.n_stages,
+        "log_z": round(float(res.log_z), 4),
+        "final_beta": round(float(res.betas[-1]), 4),
+        "mean_accept": round(float(jnp.mean(res.accept_hist)), 3),
+        "pretrain_s": round(pretrain_s, 1),
+        "smc_wall_s": round(smc_s, 1),
+        "particles_per_s": round(args.particles * res.n_stages / smc_s, 0),
+        "gate_passed": bool(gate.passed),
+        "max_sigma_mean": round(float(gate.max_sigma_mean), 2),
+        "max_sigma_var": round(float(gate.max_sigma_var), 2),
+    }
+    line = json.dumps(row)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    if not gate.passed:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

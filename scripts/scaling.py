@@ -52,7 +52,15 @@ def main() -> None:
     ap.add_argument("--dim", type=int, default=16)
     ap.add_argument("--num-warmup", type=int, default=100)
     ap.add_argument("--num-samples", type=int, default=200)
+    ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
+                    help="force a backend (cpu + XLA_FLAGS="
+                         "--xla_force_host_platform_device_count=8 gives the "
+                         "virtual validation mesh)")
     args = ap.parse_args()
+    if args.platform:
+        # sitecustomize pre-imports jax, so env vars are too late; the
+        # config knob still works because backends initialize lazily.
+        jax.config.update("jax_platforms", args.platform)
 
     n_avail = len(jax.devices())
     if args.devices:
