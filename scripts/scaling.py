@@ -23,6 +23,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 import jax
 import jax.numpy as jnp
 
+# persistent XLA cache: the priming call in measure() compiles; the timed
+# call re-traces but hits this cache, so dt excludes compilation
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "..", ".jax_cache"))
+
 
 def measure(n_devices: int, chains_per_device: int, dim: int,
             num_warmup: int, num_samples: int) -> dict:
@@ -33,6 +39,14 @@ def measure(n_devices: int, chains_per_device: int, dim: int,
     n_chains = chains_per_device * n_devices
     target = NealsFunnel(dim=dim)
     q0 = jax.random.normal(jax.random.key(0), (n_chains, dim)) * 0.5
+
+    # prime: identical call compiles the program (persistent-cache hit for
+    # the timed run below), so `dt` is execution only — without this the
+    # 1-device row carries a larger fixed compile share and the computed
+    # "efficiency" is compilation noise, not scaling
+    res = run_nuts_sharded(jax.random.key(1), target.log_density, q0, mesh,
+                           num_warmup=num_warmup, num_samples=num_samples)
+    float(jnp.sum(res.samples))
 
     t0 = time.perf_counter()
     res = run_nuts_sharded(jax.random.key(1), target.log_density, q0, mesh,

@@ -7,6 +7,8 @@ import subprocess
 import sys
 import time
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 
@@ -49,6 +51,8 @@ def test_smc_resume_matches_uninterrupted(tmp_path):
     assert jnp.allclose(res.particles, ref.particles, atol=1e-5)
 
 
+@pytest.mark.slow  # real-subprocess SIGKILL: two cold jax starts (~25 s);
+# the in-process resume semantics are covered by the fast test above
 def test_smc_kill9_resume(tmp_path):
     """Real process kill: SIGKILL the interpreter mid-SMC, then resume."""
     ckpt = str(tmp_path / "smc")
