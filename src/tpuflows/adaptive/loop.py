@@ -31,6 +31,7 @@ from tpuflows.diagnostics import (
     importance_weight_ess,
     split_rhat,
 )
+from tpuflows.dist.failures import FailurePolicy
 from tpuflows.flows.build import build_flow
 from tpuflows.flows.core import Bijector
 from tpuflows.flows.train import optimize_flow
@@ -105,6 +106,7 @@ def adaptive_fit(
     flow: Optional[Bijector] = None,
     checkpoint_dir: Optional[str] = None,
     verbose: bool = False,
+    failure_policy: Optional[FailurePolicy] = None,
 ) -> AdaptiveResult:
     """Run the adaptive loop until the ESS criterion or max_rounds.
 
@@ -114,8 +116,16 @@ def adaptive_fit(
     call resumes from the latest checkpoint — the restartability story of
     SURVEY.md §5 (failure detection/elastic recovery): on a multi-host
     failure, restart the job and the loop continues from the last round.
+
+    Failure detection is PER PHASE: each round's sampling and retraining
+    device work runs under `failure_policy.guard` (default:
+    `FailurePolicy.from_env()`), so a hung collective is detected within
+    one phase budget and recovery via `checkpoint_dir` loses at most the
+    round in flight — not the whole run.
     """
     cfg = config
+    policy = failure_policy if failure_policy is not None \
+        else FailurePolicy.from_env()
     k_init, key = jax.random.split(key)
     if init_positions is None:
         init_positions = 0.5 * jax.random.normal(
@@ -178,7 +188,8 @@ def adaptive_fit(
             # restart chains from the latent image of the previous draws
             q0 = flow.forward(samples[-1]) if samples is not None else init_positions
 
-        res = run_nuts(
+        res = policy.guard(
+            run_nuts,
             k_sample,
             logp,
             q0,
@@ -186,6 +197,7 @@ def adaptive_fit(
             num_samples=cfg.num_samples,
             max_depth=cfg.max_depth,
             target_accept=cfg.target_accept,
+            phase=f"adaptive_sample:{rnd}",
         )
         draws = res.samples  # (n_draws, n_chains, d), latent if flow else data
         if flow is not None:
@@ -209,13 +221,15 @@ def adaptive_fit(
                 hidden=cfg.hidden,
                 use_pallas=cfg.use_pallas,
             )
-        train = optimize_flow(
+        train = policy.guard(
+            optimize_flow,
             k_train,
             flat,
             flow,
             opt,
             nbatches=cfg.train_batches,
             nepochs=cfg.train_epochs,
+            phase=f"adaptive_train:{rnd}",
         )
         flow = train.result
 

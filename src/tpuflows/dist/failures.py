@@ -95,7 +95,11 @@ def run_with_timeout(fn: Callable[..., Any], *args: Any,
 
     def _target():
         try:
-            result["value"] = fn(*args, **kwargs)
+            # block on device work INSIDE the worker thread: jitted calls
+            # dispatch asynchronously, so without this the timeout would
+            # cover only dispatch, not execution (non-array leaves are
+            # ignored by block_until_ready)
+            result["value"] = jax.block_until_ready(fn(*args, **kwargs))
         except BaseException as e:  # noqa: BLE001 — reraised below
             result["error"] = e
 

@@ -27,13 +27,22 @@ def _emit(record: dict) -> None:
 
 
 def run(cfg) -> dict:
-    """Execute one config. The whole task runs under the env-configured
-    FailurePolicy (TPUFLOWS_COLLECTIVE_TIMEOUT_S): on a multi-host mesh a
-    dead peer turns the next collective into a hang, the watchdog converts
-    the hang into a process exit, and the supervisor restarts every worker
-    from the last per-stage checkpoint (SURVEY.md §5 failure detection)."""
+    """Execute one config under the env-configured FailurePolicy
+    (TPUFLOWS_COLLECTIVE_TIMEOUT_S): on a multi-host mesh a dead peer turns
+    the next collective into a hang and the watchdog converts the hang into
+    a process exit so the supervisor restarts every worker from the last
+    checkpoint (SURVEY.md §5 failure detection).
+
+    Guard granularity matches checkpoint granularity: the staged tasks
+    (`smc`, `adaptive`) guard EACH stage/round internally (see
+    `run_smc`/`adaptive_fit`), so the env timeout is a per-stage budget and
+    recovery loses at most one stage. The single-program tasks (fit, vi,
+    nuts, mh, pt) have no intermediate checkpoints, so they are guarded
+    whole — for those the timeout must cover the full task."""
     from tpuflows.dist import FailurePolicy
 
+    if cfg.task in ("smc", "adaptive"):
+        return _run_task(cfg)  # per-stage guards live inside the driver
     policy = FailurePolicy.from_env()
     return policy.guard(_run_task, cfg, phase=f"task:{cfg.task}")
 

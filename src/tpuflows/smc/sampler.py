@@ -35,6 +35,7 @@ from tpuflows.dist.collectives import (
     logsumexp_g,
     pmean,
 )
+from tpuflows.dist.failures import FailurePolicy
 from tpuflows.flows.core import Bijector
 from tpuflows.flows.train import optimize_flow
 from tpuflows.mcmc.hmc import PhasePoint, kinetic, leapfrog
@@ -205,6 +206,16 @@ def _make_stage(log_density, cfg: SMCConfig, n_global: int, axis_name=None):
     return stage
 
 
+def _execute_stage(stage, *args):
+    """Run one jitted SMC stage to COMPLETION (block on device work).
+
+    Module-level so the per-stage failure guard wraps exactly one stage's
+    device time, and so tests can substitute a hanging stage
+    (tests/test_failures.py) without touching the jitted program."""
+    out = stage(*args)
+    return jax.block_until_ready(out)
+
+
 def run_smc(
     key: jax.Array,
     log_density: Callable,
@@ -214,6 +225,7 @@ def run_smc(
     mesh=None,
     verbose: bool = False,
     checkpoint_dir=None,
+    failure_policy: FailurePolicy | None = None,
 ) -> SMCResult:
     """Annealed SMC from the flow's variational density to `log_density`.
 
@@ -230,8 +242,18 @@ def run_smc(
     stage (SURVEY.md §5 failure recovery; exercised by
     tests/test_smc_resume.py with a real subprocess kill). Single-controller
     scope: under a mesh the arrays must be process-addressable.
+
+    Failure detection is PER STAGE: each stage's device work (and, on
+    multi-process meshes, a heartbeat psum before it) runs under
+    `failure_policy.guard` (default: `FailurePolicy.from_env()`, enabled by
+    `TPUFLOWS_COLLECTIVE_TIMEOUT_S`). The budget is one stage + one bridge
+    retrain, not the whole run — a hung collective is detected within one
+    stage budget and recovery (restart from `checkpoint_dir`) loses at most
+    the stage in flight (tests/test_failures.py).
     """
     cfg = config
+    policy = failure_policy if failure_policy is not None \
+        else FailurePolicy.from_env()
     n = cfg.n_particles
     k_init, key = jax.random.split(key)
 
@@ -299,11 +321,23 @@ def run_smc(
                 print(f"[smc] resumed at stage {start_stage} "
                       f"beta={float(beta):.4f}")
 
+    multi_process = mesh is not None and jax.process_count() > 1
     for stage_idx in range(start_stage, cfg.max_stages):
         key, k_stage, k_train = jax.random.split(key, 3)
-        (x, log_w, log_q0_x, beta, eps, log_z_inc, rel_ess, mean_acc) = stage(
-            k_stage, x, log_w, log_q0_x, beta, eps, flow
-        )
+        if multi_process and policy.timeout_s is not None:
+            # cheap liveness probe between stages: a dead peer turns this
+            # 1-element psum into a hang, caught within the stage budget
+            # instead of deep inside the next stage's collectives
+            from tpuflows.dist.failures import heartbeat
+
+            policy.guard(heartbeat, mesh,
+                         phase=f"smc_heartbeat:{stage_idx}")
+        (x, log_w, log_q0_x, beta, eps, log_z_inc, rel_ess, mean_acc) = \
+            policy.guard(
+                _execute_stage, stage,
+                k_stage, x, log_w, log_q0_x, beta, eps, flow,
+                phase=f"smc_stage:{stage_idx}",
+            )
         log_z = log_z + log_z_inc
         betas.append(beta)
         ess_hist.append(rel_ess)
@@ -320,9 +354,11 @@ def run_smc(
         if cfg.retrain_every and (stage_idx + 1) % cfg.retrain_every == 0 \
                 and float(beta) < 1.0:
             if mesh is None:
-                res = optimize_flow(
+                res = policy.guard(
+                    optimize_flow,
                     k_train, x, flow, opt,
                     nbatches=cfg.retrain_batches, nepochs=cfg.retrain_epochs,
+                    phase=f"smc_retrain:{stage_idx}",
                 )
             else:
                 # the particle matrix is row-sharded: retrain through the
@@ -330,9 +366,11 @@ def run_smc(
                 # mesh) instead of relying on GSPMD to lay out a plain jit
                 from tpuflows.dist.train import optimize_flow_dp
 
-                res = optimize_flow_dp(
+                res = policy.guard(
+                    optimize_flow_dp,
                     k_train, x, flow, mesh, optimizer=opt,
                     nbatches=cfg.retrain_batches, nepochs=cfg.retrain_epochs,
+                    phase=f"smc_retrain:{stage_idx}",
                 )
             flow = res.result
         if checkpoint_dir is not None:

@@ -72,6 +72,63 @@ def test_policy_from_env(monkeypatch):
     assert FailurePolicy.from_env().action == "raise"
 
 
+@pytest.mark.slow  # detection costs one full stage budget (~15 s) by design
+def test_smc_stage_hang_recovers_losing_at_most_one_stage(
+        tmp_path, monkeypatch):
+    """Per-stage guard contract (VERDICT r2 item 5): hang ONE SMC stage;
+    the watchdog raises within the stage budget, and a restarted run
+    resumes from that stage's checkpoint — every completed stage survives.
+    """
+    import tpuflows.smc.sampler as sampler_mod
+    from tpuflows.flows import build_flow
+    from tpuflows.smc import SMCConfig, run_smc
+    from tpuflows.targets import StandardNormal
+
+    from tpuflows.targets import DiagNormal
+
+    dim = 4
+    # deliberately mismatched bridge (q0 = std normal vs shifted/widened
+    # target) so the ESS-bisection ladder needs MANY stages — the hang at
+    # stage 2 must happen before the run converges
+    t = DiagNormal(loc=3.0 * jnp.ones(dim), scale=2.0 * jnp.ones(dim))
+    draws = jax.random.normal(jax.random.key(0), (512, dim))
+    flow = build_flow(draws, jax.random.key(1), kind="affine", n_blocks=1)
+    cfg = SMCConfig(n_particles=256, n_mutation_steps=2, n_leapfrog=3,
+                    max_stages=50)
+    ckpt = str(tmp_path / "smc")
+    # budget must cover one stage INCLUDING its first-call compile; the
+    # injected hang (60 s) then trips it while real stages never do
+    policy = FailurePolicy(timeout_s=15.0, action="raise")
+
+    real_execute = sampler_mod._execute_stage
+    calls = {"n": 0}
+
+    def hang_on_third(stage, *args):
+        if calls["n"] == 2:  # stages 0,1 complete; stage 2 hangs
+            calls["n"] += 1
+            time.sleep(60.0)  # stands in for a psum blocked on a dead peer
+        calls["n"] += 1
+        return real_execute(stage, *args)
+
+    monkeypatch.setattr(sampler_mod, "_execute_stage", hang_on_third)
+    with pytest.raises(CollectiveTimeout):
+        run_smc(jax.random.key(2), t.log_density, flow, dim, cfg,
+                checkpoint_dir=ckpt, failure_policy=policy)
+    monkeypatch.setattr(sampler_mod, "_execute_stage", real_execute)
+
+    # exactly stages 0 and 1 are on disk — the hang lost only stage 2
+    from tpuflows.io import latest_checkpoint, load_pytree
+
+    latest = latest_checkpoint(ckpt, prefix="smc_")
+    st = load_pytree(latest)
+    assert int(st["next_stage"]) == 2
+
+    res = run_smc(jax.random.key(2), t.log_density, flow, dim, cfg,
+                  checkpoint_dir=ckpt, failure_policy=policy, verbose=True)
+    assert res.n_stages >= 2
+    assert float(res.betas[-1]) == 1.0
+
+
 def test_guarded_device_step_completes():
     """A real sharded computation passes through the watchdog untouched."""
     mesh = worker_mesh(8)
