@@ -21,6 +21,18 @@ Pipeline (timed phases, COMPILATION EXCLUDED via same-shape priming calls):
 Metric = min_ess / (warmup + draw wall-time), compile excluded.
 `vs_baseline`: ratio against the first number this repo recorded
 (bench_baseline.json, round-1 driver run: 0.96 eff samples/s/chip).
+
+Variants (TPUFLOWS_BENCH_VARIANT):
+  ceiling (default) — standardize + ONE leading-mask affine coupling: the
+    funnel's exact transport family (best case, target-specific mask).
+  generic — the engine's GENERIC recipe: arqs (affine+RQS hybrid) coupling
+    flow with mixed (checkerboard + block) masks, no funnel-specific
+    structure, fitted by the same reverse-KL/STL VI. Same convergence
+    gates. This is the number a user gets on an unseen target, and it
+    exercises the RQS spline stack end-to-end (train + NUTS hot path);
+    the detail line's `train_steps_per_s` is the RQS training throughput.
+    Run via scripts/bench_generic.py; artifact: docs/artifacts/
+    bench_generic_tpu.json.
 """
 import json
 import os
@@ -66,10 +78,16 @@ def main():
     from tpuflows.vi import elbo
 
     use_pallas = os.environ.get("TPUFLOWS_BENCH_PALLAS", "") == "1"
+    variant = os.environ.get("TPUFLOWS_BENCH_VARIANT", "ceiling")
     target = NealsFunnel(dim=DIM)
 
     def make_flow0():
         init = jax.random.normal(jax.random.key(1), (1024, DIM), jnp.float32)
+        if variant == "generic":
+            return build_flow(init, jax.random.key(2), kind="arqs",
+                              n_blocks=2, knots=8, hidden=(128, 128),
+                              mask_scheme="mixed", clamp=8.0,
+                              use_pallas=use_pallas)
         return build_flow(init, jax.random.key(2), kind="affine", n_blocks=1,
                           hidden=(128, 128), mask_scheme="leading",
                           clamp=8.0, use_pallas=use_pallas)
@@ -151,6 +169,8 @@ def main():
         [i.diverging.astype(jnp.float32).reshape(-1) for i in infos]))
 
     detail = {
+        "variant": variant,
+        "train_steps_per_s": round(TRAIN_STEPS / train_time, 1),
         "train_time_s": round(train_time, 2),
         "warmup_time_s": round(warm_time, 2),
         "draw_time_s": round(draw_time, 2),
@@ -185,8 +205,9 @@ def main():
             json.dump({"metric": "eff_samples_per_sec_per_chip",
                        "value": eff_sps}, f)
 
+    suffix = "" if variant == "ceiling" else f"_{variant}"
     print(json.dumps({
-        "metric": "eff_samples_per_sec_per_chip_nuts_funnel64",
+        "metric": f"eff_samples_per_sec_per_chip_nuts_funnel64{suffix}",
         "value": round(eff_sps, 2),
         "unit": "eff_samples/s/chip",
         "vs_baseline": round(eff_sps / base, 3),

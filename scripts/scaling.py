@@ -53,6 +53,10 @@ def measure(n_devices: int, chains_per_device: int, dim: int,
                            num_warmup=num_warmup, num_samples=num_samples)
     float(jnp.sum(res.samples))  # host readback forces device completion
     dt = time.perf_counter() - t0
+    # NOTE: dt still includes the timed call's host-side RE-TRACE (the
+    # persistent cache removes compilation, not tracing) — a fixed ~1s-scale
+    # per-row cost. Use num_samples large enough to amortize it; artifact
+    # headers state the residual.
     sps = n_chains * num_samples / dt
     return {"n_devices": n_devices, "n_chains": n_chains,
             "wall_s": round(dt, 2), "samples_per_s": round(sps, 1)}
@@ -71,10 +75,17 @@ def main() -> None:
                          "--xla_force_host_platform_device_count=8 gives the "
                          "virtual validation mesh)")
     args = ap.parse_args()
-    if args.platform:
+    if args.platform == "cpu":
         # sitecustomize pre-imports jax, so env vars are too late; the
         # config knob still works because backends initialize lazily.
         jax.config.update("jax_platforms", args.platform)
+    elif args.platform == "tpu":
+        # the TPU here is the DEFAULT backend but registers under the
+        # experimental platform name "axon" — forcing jax_platforms="tpu"
+        # would fail. Just verify the default resolves to TPU.
+        if jax.default_backend() != "tpu":
+            raise SystemExit(f"default backend is {jax.default_backend()!r},"
+                             " not tpu")
 
     n_avail = len(jax.devices())
     if args.devices:

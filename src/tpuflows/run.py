@@ -47,10 +47,21 @@ def run(cfg) -> dict:
     return policy.guard(_run_task, cfg, phase=f"task:{cfg.task}")
 
 
+def _flow_from_spec(samples, key, spec):
+    """build_flow with every FlowSpec knob applied (one call site per task)."""
+    from tpuflows.flows import build_flow
+
+    return build_flow(samples, key, kind=spec.kind, n_blocks=spec.n_blocks,
+                      knots=spec.knots, hidden=spec.hidden,
+                      use_pallas=spec.use_pallas,
+                      mask_scheme=spec.mask_scheme, n_leading=spec.n_leading,
+                      clamp=spec.clamp)
+
+
 def _run_task(cfg) -> dict:
     from tpuflows.adaptive import adaptive_fit
     from tpuflows.diagnostics import effective_sample_size, split_rhat
-    from tpuflows.flows import build_flow, optimize_flow
+    from tpuflows.flows import optimize_flow
     from tpuflows.io import save_pytree
     from tpuflows.mcmc import run_nuts
     from tpuflows.mcmc.preconditioned import flow_reparameterized
@@ -65,10 +76,7 @@ def _run_task(cfg) -> dict:
 
     if cfg.task == "fit":
         samples = target.sample(k_data, cfg.train.n_fit_samples)
-        flow = build_flow(samples, k_build, kind=cfg.flow.kind,
-                          n_blocks=cfg.flow.n_blocks, knots=cfg.flow.knots,
-                          hidden=cfg.flow.hidden,
-                          use_pallas=cfg.flow.use_pallas)
+        flow = _flow_from_spec(samples, k_build, cfg.flow)
         res = optimize_flow(k_task, samples, flow,
                             optax.adam(cfg.train.learning_rate),
                             nbatches=cfg.train.nbatches,
@@ -78,10 +86,7 @@ def _run_task(cfg) -> dict:
         state = res.result
     elif cfg.task == "vi":
         init = jax.random.normal(k_data, (cfg.train.batch_size, dim))
-        flow = build_flow(init, k_build, kind=cfg.flow.kind,
-                          n_blocks=cfg.flow.n_blocks, knots=cfg.flow.knots,
-                          hidden=cfg.flow.hidden,
-                          use_pallas=cfg.flow.use_pallas)
+        flow = _flow_from_spec(init, k_build, cfg.flow)
         res = fit_vi(k_task, target.log_density, flow, dim,
                      optimizer=optax.adam(cfg.train.learning_rate),
                      batch_size=cfg.train.batch_size,
@@ -99,10 +104,7 @@ def _run_task(cfg) -> dict:
         q0 = jax.random.normal(k_data, (cfg.nuts.n_chains, dim))
         if cfg.nuts.preconditioned:
             init = jax.random.normal(k_build, (2048, dim))
-            flow = build_flow(init, k_build, kind=cfg.flow.kind,
-                              n_blocks=cfg.flow.n_blocks,
-                              knots=cfg.flow.knots, hidden=cfg.flow.hidden,
-                              use_pallas=cfg.flow.use_pallas)
+            flow = _flow_from_spec(init, k_build, cfg.flow)
             vres = fit_vi(k_task, target.log_density, flow, dim,
                           batch_size=cfg.train.batch_size,
                           nsteps=cfg.train.nsteps)
@@ -132,10 +134,7 @@ def _run_task(cfg) -> dict:
         q0 = jax.random.normal(k_data, (cfg.mh.n_chains, dim))
         if cfg.mh.flow_proposal:
             init = jax.random.normal(k_build, (2048, dim))
-            flow = build_flow(init, k_build, kind=cfg.flow.kind,
-                              n_blocks=cfg.flow.n_blocks,
-                              knots=cfg.flow.knots, hidden=cfg.flow.hidden,
-                              use_pallas=cfg.flow.use_pallas)
+            flow = _flow_from_spec(init, k_build, cfg.flow)
             flow = fit_vi(k_task, target.log_density, flow, dim,
                           batch_size=cfg.train.batch_size,
                           nsteps=cfg.train.nsteps).flow
@@ -166,11 +165,22 @@ def _run_task(cfg) -> dict:
                "mean_swap_accept": float(jnp.mean(res.info.swap_accept))}
         state = res.samples
     elif cfg.task == "smc":
-        init = jax.random.normal(k_data, (2048, dim))
-        flow = build_flow(init, k_build, kind=cfg.flow.kind,
-                          n_blocks=cfg.flow.n_blocks, knots=cfg.flow.knots,
-                          hidden=cfg.flow.hidden,
-                          use_pallas=cfg.flow.use_pallas)
+        if cfg.smc.pretrain == "prior":
+            # validated config-5 recipe: build + forward-KL-pretrain the
+            # bridge flow on PRIOR draws (docs/artifacts/config5_fullspec.json)
+            if not hasattr(target, "sample_prior"):
+                raise ValueError(
+                    f'smc.pretrain="prior" needs target.sample_prior; '
+                    f"{cfg.target.kind!r} has none")
+            init = target.sample_prior(k_data, cfg.smc.pretrain_draws)
+            flow = _flow_from_spec(init, k_build, cfg.flow)
+            flow = optimize_flow(
+                k_build, init, flow, optax.adam(cfg.smc.pretrain_lr),
+                nbatches=cfg.smc.pretrain_batches,
+                nepochs=cfg.smc.pretrain_epochs).result
+        else:
+            init = jax.random.normal(k_data, (2048, dim))
+            flow = _flow_from_spec(init, k_build, cfg.flow)
         mesh = None
         if cfg.smc.sharded:
             from tpuflows.dist import worker_mesh

@@ -146,6 +146,19 @@ class HierarchicalGaussian(Target):
     def cov(self):
         return jnp.asarray(self._truth()[1], jnp.float32)
 
+    def sample_prior(self, key, n):
+        """Draws from the model PRIOR p(mu, log_tau, theta) — no data, no
+        posterior oracle. Used to pretrain SMC bridge flows (the validated
+        config-5 recipe): the prior shares the posterior's funnel-like
+        tau-theta geometry, so a leading-mask affine flow fitted to it is a
+        good mutation preconditioner from stage 0."""
+        k1, k2, k3 = jax.random.split(key, 3)
+        J = self.y.shape[-1]
+        mu = self.prior_mu_scale * jax.random.normal(k1, (n, 1))
+        lt = jax.random.normal(k2, (n, 1))
+        theta = mu + jnp.exp(lt) * jax.random.normal(k3, (n, J))
+        return jnp.concatenate([mu, lt, theta], axis=-1)
+
     def sample(self, key, n):
         """Exact posterior sampling: grid-categorical over log_tau, then the
         conditional Gaussian (used only for tests / flow pre-training)."""

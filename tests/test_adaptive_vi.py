@@ -120,6 +120,44 @@ def test_adaptive_growth_appends_blocks():
     assert jnp.allclose(ladj_f, -ladj_i, atol=1e-4)
 
 
+@pytest.mark.slow
+def test_adaptive_growth_repeated_and_capped():
+    """Slow variant (ADVICE r2): enough rounds for TWO appends — covers the
+    alternating-mask placement of the second grown block AND the
+    max_grown_blocks cap (a 5th round must NOT grow past the cap)."""
+    target = GaussianMixture.bimodal(dim=2, separation=4.0)
+    cfg = AdaptiveConfig(
+        max_rounds=5,
+        ess_threshold=1e9,
+        n_chains=16,
+        num_warmup=40,
+        num_samples=40,
+        flow_kind="affine",
+        n_blocks=1,
+        hidden=(8,),
+        train_epochs=5,
+        train_batches=4,
+        grow_on_stall=True,
+        grow_is_ess_target=1.1,
+        grow_min_gain=1e9,
+        max_grown_blocks=2,
+    )
+    res = adaptive_fit(jax.random.key(0), target.log_density, 2, cfg)
+    # standardize + 1 affine + 2 grown RQS blocks, capped there: rounds
+    # 2 and 3 each append one, rounds 4+ are blocked by the cap
+    assert len(res.flow.transforms) == 4
+    # the two grown blocks landed on ALTERNATING masks (each transforms
+    # the dims the other passes through)
+    m3 = res.flow.transforms[2].mask
+    m4 = res.flow.transforms[3].mask
+    assert tuple(m3) != tuple(m4)
+    x = jax.random.normal(jax.random.key(1), (64, 2))
+    z, ladj_f = res.flow.forward_and_ladj(x)
+    x2, ladj_i = res.flow.inverse_and_ladj(z)
+    assert jnp.allclose(x2, x, atol=1e-4)
+    assert jnp.allclose(ladj_f, -ladj_i, atol=1e-4)
+
+
 def test_build_flow_user_module_list():
     """build_flow(samples, key, modules=[...]): ready bijectors and
     (samples, key)->Bijector constructors mix freely (reference

@@ -92,6 +92,41 @@ def test_nuts_correlated_gaussian():
     assert check.passed, check
 
 
+def test_stan_windows_better_metric_on_raw_multiscale():
+    """warmup_schedule="stan" (doubling Welford windows, VERDICT r2 item 8)
+    vs the single-window default on a RAW target with 3.5 decades of scale
+    and chains started near the origin: the single window bakes the
+    far-from-stationarity transient of the wide dims into its only metric;
+    doubling windows re-estimate off progressively better draws."""
+    from tpuflows.mcmc.sample import stan_window_closes
+
+    # schedule shape: doubling windows inside the slow phase, last one
+    # extended to the slow-phase end
+    closes, start, end = stan_window_closes(400)
+    idx = np.flatnonzero(closes)
+    assert start == 60 and end == 360
+    assert idx[-1] == end - 1
+    assert len(idx) >= 3
+    widths = np.diff(np.concatenate([[start - 1], idx]))
+    assert np.all(widths[1:-1] == 2 * widths[:-2])  # doubling until the last
+
+    d = 8
+    scale = jnp.asarray([0.1, 0.3, 1.0, 3.0, 10.0, 30.0, 100.0, 300.0])
+    t = DiagNormal(loc=jnp.zeros(d), scale=scale)
+    q0 = 0.1 * jax.random.normal(jax.random.key(0), (32, d))
+    true_log_var = np.log(np.asarray(scale) ** 2)
+
+    errs = {}
+    for sched in ("single", "stan"):
+        res = run_nuts(jax.random.key(1), t.log_density, q0, num_warmup=400,
+                       num_samples=100, max_depth=8, warmup_schedule=sched)
+        errs[sched] = np.max(np.abs(
+            np.log(np.asarray(res.inv_mass)) - true_log_var))
+    # measured (seed 1): single 0.556, stan 0.034 — demand a decisive margin
+    assert errs["stan"] < 0.5 * errs["single"], errs
+    assert errs["stan"] < 0.3, errs
+
+
 def test_nuts_tree_stats_sane():
     t = StandardNormal(dim=2)
     kernel = make_nuts_kernel(t.log_density, max_depth=6)

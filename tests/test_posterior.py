@@ -127,8 +127,13 @@ def test_posterior_bounded_param_nuts_recovers_scale():
 
     post = Posterior(loglik, IndependentPrior([LogNormal(0.0, 1.0)]))
     q0 = post.sample_prior(jax.random.key(6), 32)
+    # chains start from the prior, i.e. in heterogeneous curvature regimes
+    # of a raw scale posterior — the documented per-chain-step-size opt-in
+    # (pooled default would bias the small-sigma chains; mcmc/sample.py
+    # step-size policy)
     res = run_nuts(jax.random.key(7), post.log_density, q0,
-                   num_warmup=200, num_samples=200, max_depth=6)
+                   num_warmup=200, num_samples=200, max_depth=6,
+                   per_chain_step_size=True)
     sig = post.constrain(res.samples.reshape(-1, 1))[:, 0]
     assert np.all(np.asarray(sig) > 0)
     assert abs(float(jnp.mean(sig)) - float(jnp.std(y))) < 0.15
