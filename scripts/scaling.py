@@ -31,8 +31,10 @@ jax.config.update("jax_compilation_cache_dir",
 
 
 def measure(n_devices: int, chains_per_device: int, dim: int,
-            num_warmup: int, num_samples: int) -> dict:
+            num_warmup: int, num_samples: int,
+            chunk_size=None) -> dict:
     from tpuflows.dist import run_nuts_sharded, worker_mesh
+    from tpuflows.mcmc import run_nuts
     from tpuflows.targets import NealsFunnel
 
     mesh = worker_mesh(n_devices)
@@ -40,17 +42,30 @@ def measure(n_devices: int, chains_per_device: int, dim: int,
     target = NealsFunnel(dim=dim)
     q0 = jax.random.normal(jax.random.key(0), (n_chains, dim)) * 0.5
 
+    if n_devices == 1:
+        # single device: no shard_map needed (a 1-device mesh's pmean is
+        # the identity), and chunked execution keeps each device program
+        # short — the axon TPU tunnel kills single programs running many
+        # minutes (see mcmc/sample.py chunk_size)
+        def go(key):
+            return run_nuts(key, target.log_density, q0,
+                            num_warmup=num_warmup, num_samples=num_samples,
+                            chunk_size=chunk_size)
+    else:
+        def go(key):
+            return run_nuts_sharded(key, target.log_density, q0, mesh,
+                                    num_warmup=num_warmup,
+                                    num_samples=num_samples)
+
     # prime: identical call compiles the program (persistent-cache hit for
     # the timed run below), so `dt` is execution only — without this the
     # 1-device row carries a larger fixed compile share and the computed
     # "efficiency" is compilation noise, not scaling
-    res = run_nuts_sharded(jax.random.key(1), target.log_density, q0, mesh,
-                           num_warmup=num_warmup, num_samples=num_samples)
+    res = go(jax.random.key(1))
     float(jnp.sum(res.samples))
 
     t0 = time.perf_counter()
-    res = run_nuts_sharded(jax.random.key(1), target.log_density, q0, mesh,
-                           num_warmup=num_warmup, num_samples=num_samples)
+    res = go(jax.random.key(1))
     float(jnp.sum(res.samples))  # host readback forces device completion
     dt = time.perf_counter() - t0
     # NOTE: dt still includes the timed call's host-side RE-TRACE (the
@@ -70,6 +85,9 @@ def main() -> None:
     ap.add_argument("--dim", type=int, default=16)
     ap.add_argument("--num-warmup", type=int, default=100)
     ap.add_argument("--num-samples", type=int, default=200)
+    ap.add_argument("--chunk", type=int, default=None,
+                    help="chunk size for the 1-device row (required on the "
+                         "axon TPU tunnel; e.g. 64)")
     ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
                     help="force a backend (cpu + XLA_FLAGS="
                          "--xla_force_host_platform_device_count=8 gives the "
@@ -101,7 +119,8 @@ def main() -> None:
         if n > n_avail:
             break
         row = measure(n, args.chains_per_device, args.dim,
-                      args.num_warmup, args.num_samples)
+                      args.num_warmup, args.num_samples,
+                      chunk_size=args.chunk)
         rows.append(row)
         print(json.dumps(row), flush=True)
 

@@ -44,7 +44,10 @@ class RQSCouplingBlock(Bijector):
     net: MLP = None
     knots: int = static_field(default=8)
     range_limit: float = static_field(default=rqs_ref.DEFAULT_RANGE)
-    use_pallas: bool = static_field(default=False)
+    # False: pure-jnp oracle (XLA fusion); True: elementwise Pallas spline
+    # kernel; "fused": whole-block Pallas kernel (conditioner matmul +
+    # spline + masked ladj reduce in one program, kernels/coupling_pallas)
+    use_pallas: object = static_field(default=False)
 
     def _raw_params(self, masked_input):
         d = len(self.mask)
@@ -52,6 +55,13 @@ class RQSCouplingBlock(Bijector):
         return h.reshape(*h.shape[:-1], d, 3 * self.knots - 1)
 
     def forward_and_ladj(self, x):
+        if self.use_pallas == "fused":
+            from tpuflows.kernels.coupling_pallas import (
+                fused_coupling_forward,
+            )
+
+            return fused_coupling_forward(x, self.net, self.mask,
+                                          self.knots, self.range_limit)
         fwd, _ = _spline_fns(self.use_pallas)
         b = mask_array(self.mask, x.dtype)
         raw = self._raw_params(x * b)
@@ -61,6 +71,13 @@ class RQSCouplingBlock(Bijector):
         return z, ladj
 
     def inverse_and_ladj(self, z):
+        if self.use_pallas == "fused":
+            from tpuflows.kernels.coupling_pallas import (
+                fused_coupling_inverse,
+            )
+
+            return fused_coupling_inverse(z, self.net, self.mask,
+                                          self.knots, self.range_limit)
         _, inv = _spline_fns(self.use_pallas)
         b = mask_array(self.mask, z.dtype)
         raw = self._raw_params(z * b)  # pass dims unchanged: z*b == x*b

@@ -1,0 +1,137 @@
+"""REAL multi-process distributed runtime test (VERDICT r2 item 6).
+
+Two actual OS processes run `jax.distributed.initialize` against a
+localhost coordinator (2 CPU devices each -> a 4-device global mesh),
+execute `optimize_flow_dp` over a globally row-sharded sample matrix, and
+each write their per-process checkpoint shard (`*_p{i}`). The parent then
+loads the checkpoint under process_count=1, exercising reshard-on-restore
+against files produced by the REAL per-process save path — replacing the
+monkeypatched simulation as the trust anchor for
+`io/checkpoint.py` multi-host behavior (tests/test_checkpoint_reshard.py
+keeps the fast simulated variants).
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = """
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+sys.path.insert(0, os.path.join({repo!r}, "src"))
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_threefry_partitionable", True)
+
+proc_id = int(sys.argv[1]); coord = sys.argv[2]; outdir = sys.argv[3]
+
+from tpuflows.dist import init_distributed, worker_mesh
+init_distributed(coordinator_address=coord, num_processes=2,
+                 process_id=proc_id)
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 4, jax.devices()
+assert len(jax.local_devices()) == 2
+
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+from tpuflows.dist import optimize_flow_dp
+from tpuflows.dist.mesh import row_sharded
+from tpuflows.flows import build_flow
+from tpuflows.io import save_pytree
+
+mesh = worker_mesh()
+sharding = row_sharded(mesh)
+
+# deterministic global data; each process materializes its local rows
+N, d = 512, 4
+rng = np.random.RandomState(0)
+full = rng.randn(N, d).astype(np.float32)
+# cross-mask correlation: dims 1,3 depend on dims 0,2, so the coupling
+# conditioner has real signal to learn (standardize alone is not optimal)
+full[:, 1] += 2.0 * full[:, 0]
+full[:, 3] += 2.0 * full[:, 2]
+local = full[proc_id * (N // 2):(proc_id + 1) * (N // 2)]
+samples = jax.make_array_from_process_local_data(sharding, local)
+
+flow = build_flow(samples, jax.random.key(1), kind="affine", n_blocks=1,
+                  hidden=(16,))
+res = optimize_flow_dp(jax.random.key(2), samples, flow, mesh,
+                       optimizer=optax.adam(1e-2), nbatches=4, nepochs=40)
+hist = np.asarray(res.loss_hist)
+assert hist[-1] < hist[0], (hist[0], hist[-1])
+
+# per-process checkpoint shards: sharded particles + replicated flow
+save_pytree(os.path.join(outdir, "ckpt_1"),
+            {{"x": samples, "flow": res.result,
+              "loss": jax.numpy.asarray(hist[-1])}})
+with open(os.path.join(outdir, "ok_%d" % proc_id), "w") as f:
+    f.write("%f" % hist[-1])
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_dp_train_and_checkpoint(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER.format(repo=REPO))
+    coord = f"127.0.0.1:{_free_port()}"
+    outdir = str(tmp_path / "out")
+    os.makedirs(outdir)
+
+    # strip the axon sitecustomize (PYTHONPATH) so the workers get a plain
+    # CPU jax whose XLA_FLAGS the worker script controls
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), coord, outdir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out.decode())
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"proc {i} failed:\n{outs[i]}"
+    assert os.path.exists(os.path.join(outdir, "ok_0"))
+    assert os.path.exists(os.path.join(outdir, "ok_1"))
+
+    # both processes wrote their own shard of the sharded leaf
+    assert os.path.exists(os.path.join(outdir, "ckpt_1_p0.npz"))
+    assert os.path.exists(os.path.join(outdir, "ckpt_1_p1.npz"))
+
+    # reshard-on-restore: THIS process (count=1) reassembles the global
+    # state from the two real per-process shards
+    from tpuflows.flows import negll_flow_loss
+    from tpuflows.io import load_pytree
+
+    st = load_pytree(os.path.join(outdir, "ckpt_1"))
+    assert st["x"].shape == (512, 4)
+    rng = np.random.RandomState(0)
+    full = rng.randn(512, 4).astype(np.float32)
+    full[:, 1] += 2.0 * full[:, 0]
+    full[:, 3] += 2.0 * full[:, 2]
+    np.testing.assert_allclose(np.asarray(st["x"]), full, rtol=1e-6)
+
+    # the restored flow is usable and consistent with the training loss
+    # the workers reported (minibatch loss vs full-data NLL: loose gate)
+    loss = float(negll_flow_loss(st["flow"], jnp.asarray(full)))
+    reported = float(open(os.path.join(outdir, "ok_0")).read())
+    assert abs(loss - reported) < 0.6, (loss, reported)
+    # and clearly better than an untrained standardize-only fit (~6.4)
+    assert loss < 6.1, loss

@@ -73,6 +73,83 @@ def test_custom_vjp_inverse_grads():
     assert jnp.allclose(gr_p, gr_r, atol=1e-4)
 
 
+def _fused_pair(d, knots=4, hidden=(16,), key=0, wscale=0.1):
+    """(oracle block, fused block) with identical NON-zero conditioners."""
+    import dataclasses
+
+    from tpuflows.flows import RQSCouplingBlock
+    from tpuflows.util.shapes import alternating_mask
+
+    blk = RQSCouplingBlock.init(jax.random.key(key), alternating_mask(d, 0),
+                                knots=knots, hidden=hidden)
+    ws = list(blk.net.weights)
+    ws[-1] = wscale * jax.random.normal(jax.random.key(key + 1),
+                                        ws[-1].shape)
+    net = dataclasses.replace(blk.net, weights=tuple(ws))
+    blk = dataclasses.replace(blk, net=net)
+    return blk, dataclasses.replace(blk, use_pallas="fused")
+
+
+@pytest.mark.parametrize("d,batch", [(4, 37), (8, 256), (6, 128)])
+def test_fused_coupling_forward_inverse_match_oracle(d, batch):
+    """Whole-block fused kernel (kernels/coupling_pallas) vs the jnp block:
+    conditioner matmul + spline + masked ladj reduce, incl. batch padding
+    (batch=37 is not a TILE_B multiple)."""
+    blk, fused = _fused_pair(d)
+    x = 2.0 * jax.random.normal(jax.random.key(2), (batch, d))
+    import dataclasses
+
+    z_r, l_r = blk.forward_and_ladj(x)
+    z_f, l_f = fused.forward_and_ladj(x)
+    assert jnp.allclose(z_f, z_r, atol=1e-4)
+    assert jnp.allclose(l_f, l_r, atol=1e-4)
+    # inverse: the fused kernel shares _inv_tile_math with the elementwise
+    # Pallas kernel (tight match); vs the oracle both carry the same f32
+    # quadratic-formula formulation noise near bin edges (looser gate)
+    elem = dataclasses.replace(blk, use_pallas=True)
+    x_e, li_e = elem.inverse_and_ladj(z_r)
+    x_f, li_f = fused.inverse_and_ladj(z_r)
+    assert jnp.allclose(x_f, x_e, atol=1e-4)
+    assert jnp.allclose(li_f, li_e, atol=1e-4)
+    x_r, li_r = blk.inverse_and_ladj(z_r)
+    assert jnp.allclose(x_f, x_r, atol=5e-3)
+    assert jnp.allclose(li_f, li_r, atol=5e-3)
+    # fused round-trip self-consistency is TIGHT (the correctness pillar)
+    x_rt, li_rt = fused.inverse_and_ladj(z_f)
+    assert jnp.allclose(x_rt, x, atol=1e-4)
+    assert jnp.allclose(l_f + li_rt, jnp.zeros_like(l_f), atol=1e-4)
+
+
+def test_fused_coupling_vjp_matches_oracle():
+    """The fused block's single-kernel backward (weight cotangents
+    accumulated across batch-tile grid steps) equals jax.grad of the
+    oracle block for BOTH directions."""
+    import dataclasses
+
+    blk, fused = _fused_pair(6, key=5)
+    x = 1.5 * jax.random.normal(jax.random.key(7), (160, 6))
+
+    def loss(b, xx, inv):
+        f = b.inverse_and_ladj if inv else b.forward_and_ladj
+        z, l = f(xx)
+        return jnp.sum(jnp.sin(z)) + jnp.sum(l * l)
+
+    for inv in (False, True):
+        g_r = jax.grad(lambda n: loss(
+            dataclasses.replace(blk, net=n), x, inv))(blk.net)
+        g_f = jax.grad(lambda n: loss(
+            dataclasses.replace(fused, net=n), x, inv))(fused.net)
+        # relative gate: grads reach O(300) summed over 160 rows, so f32
+        # accumulation-order noise is O(1e-3) absolute
+        rel = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))
+                               / (1.0 + jnp.max(jnp.abs(a)))), g_r, g_f)
+        assert jax.tree_util.tree_reduce(max, rel) < 1e-4, (inv, rel)
+        gx_r = jax.grad(lambda xx: loss(blk, xx, inv))(x)
+        gx_f = jax.grad(lambda xx: loss(fused, xx, inv))(x)
+        assert jnp.allclose(gx_f, gx_r, atol=1e-3), inv
+
+
 def test_coupling_block_use_pallas_end_to_end():
     """A use_pallas coupling block agrees with the jnp path and trains."""
     from tpuflows.flows import RQSCouplingBlock
