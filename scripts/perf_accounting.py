@@ -100,19 +100,28 @@ def main():
 
     mean_steps = float(jnp.mean(info.num_steps.astype(jnp.float32)))
     total_leapfrogs = float(jnp.sum(info.num_steps.astype(jnp.float64)))
-    achieved_tflops = flops_per_grad * total_leapfrogs / draw_s / 1e12
+    # under vmap the while_loop body executes for the WHOLE 1024-chain
+    # batch while any chain continues; with pooled adaptation all chains
+    # run equal-depth trees (straggler ratio 1.0, docs/scaling.md), so the
+    # number of BATCHED grad evaluations = per-chain steps, and each costs
+    # flops_per_grad (which already covers all 1024 chains)
+    batched_leapfrogs = total_leapfrogs / N_CHAINS
+    achieved_tflops = flops_per_grad * batched_leapfrogs / draw_s / 1e12
     # NUTS bookkeeping outside the leapfrog gradient (tree shuffling,
     # u-turn checks) is NOT counted as useful FLOPs — this is a lower bound
     # on device utilization by design (useful-work accounting).
 
     # ---- 4. host/dispatch gap: one-program execution of the same work ----
+    _, z1p, _ = driver.draws(jax.random.key(6), st, args.num_draws,
+                             chunk_size=args.num_draws)  # prime
+    float(jnp.sum(z1p))
     t0 = time.perf_counter()
     st3, z1, _ = driver.draws(jax.random.key(6), st, args.num_draws,
                               chunk_size=args.num_draws)
     float(jnp.sum(z1))
     one_prog_s = time.perf_counter() - t0
 
-    hbm_bound_s = bytes_per_grad * total_leapfrogs / (V5E_HBM_GBPS * 1e9)
+    hbm_bound_s = bytes_per_grad * batched_leapfrogs / (V5E_HBM_GBPS * 1e9)
 
     row = {
         "artifact": "perf_accounting_nuts_funnel64",
@@ -126,6 +135,7 @@ def main():
         "arithmetic_intensity_flops_per_byte": round(intensity, 3),
         "mean_leapfrogs_per_transition": round(mean_steps, 2),
         "total_leapfrogs": int(total_leapfrogs),
+        "batched_leapfrogs": int(batched_leapfrogs),
         "draw_wall_s_chunked": round(draw_s, 3),
         "draw_wall_s_one_program": round(one_prog_s, 3),
         "host_dispatch_gap_frac": round(1.0 - one_prog_s / draw_s, 4),
@@ -134,7 +144,8 @@ def main():
             achieved_tflops / V5E_BF16_PEAK_TFLOPS, 5),
         "hbm_roofline_bound_s": round(hbm_bound_s, 3),
         "frac_of_hbm_roofline": round(hbm_bound_s / one_prog_s, 4),
-        "leapfrogs_per_s": round(total_leapfrogs / draw_s, 0),
+        "chain_leapfrogs_per_s": round(total_leapfrogs / draw_s, 0),
+        "batched_leapfrogs_per_s": round(batched_leapfrogs / draw_s, 1),
     }
     line = json.dumps(row)
     print(line)

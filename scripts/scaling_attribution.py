@@ -36,8 +36,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 import jax
 
-if jax.default_backend() != "cpu":
-    jax.config.update("jax_platforms", "cpu")
+# force CPU BEFORE any backend initializes — probing jax.default_backend()
+# here would itself initialize the (axon TPU) default backend and make the
+# switch a no-op; this script must never touch the real chip
+jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 import numpy as np

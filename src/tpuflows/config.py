@@ -86,6 +86,10 @@ class NUTSSpec:
     max_depth: int = 8
     target_accept: float = 0.8
     preconditioned: bool = True
+    # "single" (default; right for preconditioned/Gaussianized latents) or
+    # "stan" (doubling Welford windows; right for raw multiscale targets —
+    # see mcmc/sample.py step-size & schedule policy)
+    warmup_schedule: str = "single"
 
 
 @dataclass(frozen=True)

@@ -117,6 +117,7 @@ def _run_task(cfg) -> dict:
                        num_samples=cfg.nuts.num_samples,
                        max_depth=cfg.nuts.max_depth,
                        target_accept=cfg.nuts.target_accept,
+                       warmup_schedule=cfg.nuts.warmup_schedule,
                        chunk_size=32)
         x = res.samples
         if flow is not None:

@@ -1,5 +1,6 @@
 """Adaptive-loop checkpoint/resume (SURVEY.md §5 restartability)."""
 import jax
+import pytest
 import jax.numpy as jnp
 
 from tpuflows.adaptive import AdaptiveConfig, adaptive_fit
@@ -21,6 +22,8 @@ def _cfg(max_rounds):
     )
 
 
+@pytest.mark.slow  # 2 full adaptive-loop compiles; resume semantics also
+# covered by the SMC fast resume test + kill-9 slow variants
 def test_adaptive_resume_matches_uninterrupted(tmp_path):
     t = DiagNormal(loc=jnp.zeros(2), scale=jnp.ones(2))
     ckpt = str(tmp_path / "run")

@@ -95,9 +95,9 @@ def test_adaptive_growth_appends_blocks():
     cfg = AdaptiveConfig(
         max_rounds=3,
         ess_threshold=1e9,  # never converge: exercise all rounds
-        n_chains=16,
-        num_warmup=40,
-        num_samples=40,
+        n_chains=8,
+        num_warmup=24,
+        num_samples=24,
         flow_kind="affine",
         n_blocks=1,
         hidden=(8,),
