@@ -58,6 +58,8 @@ def main():
     ap.add_argument("--knots", type=int, default=8)
     ap.add_argument("--hidden", default="128,128")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--dims", default="8,64,256",
+                    help="comma-separated dims to bench")
     args = ap.parse_args()
     hidden = tuple(int(h) for h in args.hidden.split(","))
 
@@ -65,7 +67,7 @@ def main():
     from tpuflows.util.shapes import alternating_mask
 
     lines = []
-    for d in (8, 64, 256):
+    for d in (int(s) for s in args.dims.split(",")):
         base = RQSCouplingBlock.init(
             jax.random.key(d), alternating_mask(d, 0), knots=args.knots,
             hidden=hidden)

@@ -58,7 +58,7 @@ class AdaptiveConfig(NamedTuple):
     train_epochs: int = 60
     train_batches: int = 16
     learning_rate: float = 1e-3
-    use_pallas: bool = False
+    use_pallas: object = "auto"
     # -- adaptive GROWTH (reference append-module helpers, SURVEY.md §2a
     # row 2): when the flow-as-proposal quality stalls between rounds and
     # is still below `grow_is_ess_target`, append a fresh coupling block

@@ -58,7 +58,7 @@ class FlowSpec:
     n_blocks: int = 4
     knots: int = 8
     hidden: Tuple[int, ...] = (64, 64)
-    use_pallas: bool = False
+    use_pallas: object = "auto"
     # mask/coupling geometry (see flows/build.py): "leading" + affine with a
     # wide clamp is the validated recipe for hierarchical scale targets
     # (config 5; docs/artifacts/config5_fullspec.json)

@@ -22,7 +22,7 @@ def build_flow(
     knots: int = 8,
     hidden: tuple = (64, 64),
     activation: str = "silu",
-    use_pallas: bool = False,
+    use_pallas: object = "auto",
     mask_scheme: str = "alternating",
     clamp: float = 4.0,
     n_leading: int = 1,

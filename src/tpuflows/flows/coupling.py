@@ -46,8 +46,21 @@ class RQSCouplingBlock(Bijector):
     range_limit: float = static_field(default=rqs_ref.DEFAULT_RANGE)
     # False: pure-jnp oracle (XLA fusion); True: elementwise Pallas spline
     # kernel; "fused": whole-block Pallas kernel (conditioner matmul +
-    # spline + masked ladj reduce in one program, kernels/coupling_pallas)
+    # spline + masked ladj reduce in one program, kernels/coupling_pallas);
+    # "auto": "fused" on TPU when d is lane-aligned (d % 128 == 0 — the
+    # regime where the fused kernel is measured to win: 1.03-1.44x vs XLA
+    # at d in {128, 256}, docs/artifacts/coupling_block_bench.json), else
+    # the XLA path (which wins at small d, where the kernel's fixed
+    # per-program cost dominates; unaligned d also VMEM-OOMs the fused
+    # backward because p-major raw slices stop being lane tiles).
     use_pallas: object = static_field(default=False)
+
+    def _kernel_choice(self):
+        if self.use_pallas == "auto":
+            if jax.default_backend() == "tpu" and len(self.mask) % 128 == 0:
+                return "fused"
+            return False
+        return self.use_pallas
 
     def _raw_params(self, masked_input):
         d = len(self.mask)
@@ -55,14 +68,15 @@ class RQSCouplingBlock(Bijector):
         return h.reshape(*h.shape[:-1], d, 3 * self.knots - 1)
 
     def forward_and_ladj(self, x):
-        if self.use_pallas == "fused":
+        kernel = self._kernel_choice()
+        if kernel == "fused":
             from tpuflows.kernels.coupling_pallas import (
                 fused_coupling_forward,
             )
 
             return fused_coupling_forward(x, self.net, self.mask,
                                           self.knots, self.range_limit)
-        fwd, _ = _spline_fns(self.use_pallas)
+        fwd, _ = _spline_fns(kernel)
         b = mask_array(self.mask, x.dtype)
         raw = self._raw_params(x * b)
         y, ladj_el = fwd(x, raw, self.range_limit)
@@ -71,14 +85,15 @@ class RQSCouplingBlock(Bijector):
         return z, ladj
 
     def inverse_and_ladj(self, z):
-        if self.use_pallas == "fused":
+        kernel = self._kernel_choice()
+        if kernel == "fused":
             from tpuflows.kernels.coupling_pallas import (
                 fused_coupling_inverse,
             )
 
             return fused_coupling_inverse(z, self.net, self.mask,
                                           self.knots, self.range_limit)
-        _, inv = _spline_fns(self.use_pallas)
+        _, inv = _spline_fns(kernel)
         b = mask_array(self.mask, z.dtype)
         raw = self._raw_params(z * b)  # pass dims unchanged: z*b == x*b
         x_t, ladj_el = inv(z, raw, self.range_limit)
@@ -94,7 +109,7 @@ class RQSCouplingBlock(Bijector):
         hidden: tuple = (64, 64),
         activation: str = "silu",
         range_limit: float = rqs_ref.DEFAULT_RANGE,
-        use_pallas: bool = False,
+        use_pallas: object = "auto",
     ) -> "RQSCouplingBlock":
         d = len(mask)
         net = MLP.init(
@@ -117,7 +132,7 @@ def rqs_coupling_module(
     hidden: tuple = (64, 64),
     activation: str = "silu",
     range_limit: float = rqs_ref.DEFAULT_RANGE,
-    use_pallas: bool = False,
+    use_pallas: object = "auto",
 ) -> Chain:
     """`RQSplineCouplingModule` parity: n_blocks blocks with alternating
     checkerboard masks so every dim is transformed by half the blocks."""

@@ -168,3 +168,25 @@ def test_coupling_block_use_pallas_end_to_end():
     x_p, li_p = blk_pal.inverse_and_ladj(z_p)
     assert jnp.allclose(x_p, x_r, atol=1e-4)
     assert jnp.allclose(li_p, li_r, atol=1e-4)
+
+
+def test_auto_kernel_policy_resolution():
+    """use_pallas="auto" (the default) picks the fused kernel only on TPU
+    with lane-aligned d (d % 128 == 0, the measured-win regime —
+    docs/artifacts/coupling_block_bench.json); everywhere else it resolves
+    to the XLA path. On this CPU-backed suite every auto block must
+    resolve to False."""
+    from tpuflows.flows import RQSCouplingBlock
+    from tpuflows.util.shapes import alternating_mask
+
+    for d in (8, 128):
+        blk = RQSCouplingBlock.init(jax.random.key(0), alternating_mask(d, 0),
+                                    knots=4, hidden=(16,))
+        assert blk.use_pallas == "auto"
+        assert blk._kernel_choice() is False  # cpu backend
+    # explicit settings pass through untouched
+    import dataclasses
+    blk = dataclasses.replace(blk, use_pallas="fused")
+    assert blk._kernel_choice() == "fused"
+    blk = dataclasses.replace(blk, use_pallas=True)
+    assert blk._kernel_choice() is True
