@@ -123,12 +123,16 @@ def make_nuts_kernel(
             logp_prop = jnp.where(take, z_new.logp, logp_prop)
 
             # -- checkpoint store (even leaf indices start subtrees) -------
+            # Branchless one-hot write: `slot` is a per-chain traced index,
+            # so dynamic_update_slice/indexing here would vmap into TPU
+            # scatter/gather with n_chains distinct indices — measured 188x
+            # slower than the leapfrog itself (docs/perf.md). A one-hot
+            # select over the max_depth slot axis is pure VPU work.
             slot = _popcount32(leaf_idx)
             store = (leaf_idx % 2) == 0
-            r_row = jnp.where(store, z_new.p, r_ck[slot])
-            rs_row = jnp.where(store, rho_sum, rs_ck[slot])  # prefix BEFORE leaf
-            r_ck = jax.lax.dynamic_update_slice(r_ck, r_row[None], (slot, 0))
-            rs_ck = jax.lax.dynamic_update_slice(rs_ck, rs_row[None], (slot, 0))
+            write = ((jnp.arange(max_depth) == slot) & store)[:, None]
+            r_ck = jnp.where(write, z_new.p[None, :], r_ck)
+            rs_ck = jnp.where(write, rho_sum[None, :], rs_ck)  # prefix BEFORE leaf
 
             rho_new = rho_sum + z_new.p
 
