@@ -56,7 +56,10 @@ TRAIN_CHUNK = 200
 NUM_WARMUP = 128
 DRAW_WINDOW = 512
 MAX_WINDOWS = 4
-NUTS_CHUNK = 128
+# One device program per draw window: after the NUTS one-hot fix a full
+# 512-draw window runs in ~0.26 s device time, far under the axon tunnel's
+# many-minute program kill threshold that originally forced 128-step chunks.
+NUTS_CHUNK = 512
 MAX_DEPTH = 6
 RHAT_GATE = 1.05
 ESS_GATE = 10_000.0
@@ -123,9 +126,11 @@ def main():
     # that the timed phases then reuse (window constants are traced, so the
     # priming warmup can be short)
     driver = NUTSDriver(logp, max_depth=MAX_DEPTH)
-    st_p = driver.warmup(jax.random.key(99), q0, NUTS_CHUNK,
+    st_p = driver.warmup(jax.random.key(99), q0, NUM_WARMUP,
                          chunk_size=NUTS_CHUNK)
-    _, z_p, _ = driver.draws(jax.random.key(98), st_p, NUTS_CHUNK,
+    # prime with a FULL window so every program the timed windows run
+    # (scan chunks AND the cross-chunk concatenates) is compiled here
+    _, z_p, _ = driver.draws(jax.random.key(98), st_p, DRAW_WINDOW,
                              chunk_size=NUTS_CHUNK)
     _ready(z_p)
 
