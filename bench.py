@@ -146,6 +146,12 @@ def main():
     converged = False
     min_ess = max_rhat = float("nan")
     x = None
+    # jitted + chunked data-space map (ONE program reused across windows):
+    # an eager inverse would materialize the (draws*chains, d, 3K-1)
+    # spline-param tensor for ALL draws at once (~GBs for the generic RQS
+    # flow) and OOM the chip
+    inv_chunk = jax.jit(lambda zz: flow.inverse(zz.reshape(-1, DIM))
+                        .reshape(zz.shape))
     for w in range(MAX_WINDOWS):
         t0 = time.perf_counter()
         state, z, info = driver.draws(jax.random.fold_in(jax.random.key(6), w),
@@ -156,7 +162,10 @@ def main():
         zs.append(z)
         infos.append(info)
         z_all = jnp.concatenate(zs, axis=0)
-        x = flow.inverse(z_all.reshape(-1, DIM)).reshape(z_all.shape)
+        x = jnp.concatenate(
+            [inv_chunk(z_all[lo:lo + 64])
+             for lo in range(0, z_all.shape[0], 64)],
+            axis=0)
         ess = effective_sample_size(x)
         rhat = split_rhat(x)
         min_ess = float(jnp.min(ess))

@@ -87,8 +87,10 @@ def main():
     driver = NUTSDriver(logp, max_depth=MAX_DEPTH)
     st = driver.warmup(jax.random.key(5), q, args.num_warmup,
                        chunk_size=args.chunk)
-    # prime the draw program
-    _, z_p, _ = driver.draws(jax.random.key(98), st, args.chunk,
+    # prime the FULL chunked call (scan chunks + the cross-chunk
+    # concatenates — priming a single chunk would leave the concat
+    # programs to compile inside the timed region)
+    _, z_p, _ = driver.draws(jax.random.key(98), st, args.num_draws,
                              chunk_size=args.chunk)
     float(jnp.sum(z_p))
 
