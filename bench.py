@@ -128,10 +128,12 @@ def main():
     driver = NUTSDriver(logp, max_depth=MAX_DEPTH)
     st_p = driver.warmup(jax.random.key(99), q0, NUM_WARMUP,
                          chunk_size=NUTS_CHUNK)
-    # prime with a FULL window so every program the timed windows run
-    # (scan chunks AND the cross-chunk concatenates) is compiled here
-    _, z_p, _ = driver.draws(jax.random.key(98), st_p, DRAW_WINDOW,
-                             chunk_size=NUTS_CHUNK)
+    # prime with a FULL window AND the same key-derivation op (fold_in) so
+    # every program the timed windows run — scan chunks, cross-chunk
+    # concatenates, and the tiny eager key ops, whose FIRST compile through
+    # the remote-compile tunnel costs ~1 s — is compiled here
+    _, z_p, _ = driver.draws(jax.random.fold_in(jax.random.key(98), 0),
+                             st_p, DRAW_WINDOW, chunk_size=NUTS_CHUNK)
     _ready(z_p)
 
     t0 = time.perf_counter()
