@@ -88,6 +88,31 @@ class AdaptiveResult(NamedTuple):
     converged: bool
 
 
+def maybe_grow_flow(flow, rounds, n_grown, cfg, dim, key):
+    """Growth decision + append (reference append-module helpers,
+    SURVEY.md §2a row 2): when the flow-as-proposal IS-ESS has stalled
+    between the last two rounds and is still below
+    `cfg.grow_is_ess_target`, append a fresh RQS coupling block with the
+    mask alternated past the existing modules, up to
+    `cfg.max_grown_blocks` appends. Returns (flow, n_grown, grew)."""
+    if not (cfg.grow_on_stall and flow is not None and len(rounds) >= 2
+            and n_grown < cfg.max_grown_blocks):
+        return flow, n_grown, False
+    is_now = float(rounds[-1].flow_is_ess)
+    is_prev = float(rounds[-2].flow_is_ess)
+    if not (is_now < cfg.grow_is_ess_target
+            and is_now < is_prev * cfg.grow_min_gain):
+        return flow, n_grown, False
+    from tpuflows.flows.coupling import RQSCouplingBlock
+    from tpuflows.util.shapes import alternating_mask
+
+    mask = alternating_mask(dim, len(flow.transforms) % 2)
+    flow = flow.append(RQSCouplingBlock.init(
+        key, mask, knots=cfg.knots, hidden=cfg.hidden,
+        use_pallas=cfg.use_pallas))
+    return flow, n_grown + 1, True
+
+
 def _flow_is_ess(key, flow, log_density, dim, n=2048):
     """Kish ESS of the flow as an importance proposal for the target."""
     z = jax.random.normal(key, (n, dim), jnp.float32)
@@ -160,24 +185,12 @@ def adaptive_fit(
             key, 6)
 
         # -- 0. growth: append a coupling block when the flow stalled ------
-        if (cfg.grow_on_stall and flow is not None and len(rounds) >= 2
-                and n_grown < cfg.max_grown_blocks):
-            is_now = float(rounds[-1].flow_is_ess)
-            is_prev = float(rounds[-2].flow_is_ess)
-            if (is_now < cfg.grow_is_ess_target
-                    and is_now < is_prev * cfg.grow_min_gain):
-                from tpuflows.flows.coupling import RQSCouplingBlock
-                from tpuflows.util.shapes import alternating_mask
-
-                mask = alternating_mask(dim, len(flow.transforms) % 2)
-                flow = flow.append(RQSCouplingBlock.init(
-                    k_grow, mask, knots=cfg.knots, hidden=cfg.hidden,
-                    use_pallas=cfg.use_pallas))
-                n_grown += 1
-                if verbose:
-                    print(f"[adaptive round {rnd}] grew flow to "
-                          f"{len(flow.transforms)} modules "
-                          f"(is_ess stalled at {is_now:.3f})")
+        flow, n_grown, grew = maybe_grow_flow(
+            flow, rounds, n_grown, cfg, dim, k_grow)
+        if grew and verbose:
+            print(f"[adaptive round {rnd}] grew flow to "
+                  f"{len(flow.transforms)} modules (is_ess stalled at "
+                  f"{float(rounds[-1].flow_is_ess):.3f})")
 
         # -- 1. sample (latent space once a flow exists) -------------------
         if flow is None:

@@ -89,35 +89,62 @@ def test_vi_log_q_normalized():
 
 
 def test_adaptive_growth_appends_blocks():
-    """grow_on_stall: a stalled flow gains coupling blocks between rounds
-    (reference's append-module adaptive growth, SURVEY.md §2a row 2)."""
-    target = GaussianMixture.bimodal(dim=2, separation=4.0)
+    """grow_on_stall mechanics, unit-level (reference's append-module
+    adaptive growth, SURVEY.md §2a row 2): stall detection, append with
+    alternated mask, round-trip of the grown flow, and the
+    max_grown_blocks cap — without the end-to-end loop (the slow tier's
+    test_adaptive_growth_repeated_and_capped runs growth inside
+    adaptive_fit for real)."""
+    from tpuflows.adaptive.loop import AdaptiveRound, maybe_grow_flow
+    from tpuflows.flows import build_flow
+
     cfg = AdaptiveConfig(
-        max_rounds=3,
-        ess_threshold=1e9,  # never converge: exercise all rounds
-        n_chains=8,
-        num_warmup=24,
-        num_samples=24,
-        flow_kind="affine",
-        n_blocks=1,
-        hidden=(8,),
-        train_epochs=5,
-        train_batches=4,
         grow_on_stall=True,
-        grow_is_ess_target=1.1,  # unreachable => always below target
-        grow_min_gain=1e9,  # any round counts as a stall
+        grow_is_ess_target=0.5,
+        grow_min_gain=1.1,
         max_grown_blocks=2,
+        knots=4,
+        hidden=(8,),
     )
-    res = adaptive_fit(jax.random.key(0), target.log_density, 2, cfg)
-    # initial flow: standardize + 1 affine block = 2 modules; round 2 (the
-    # first round with >= 2 stall records) appends one RQS block
-    assert len(res.flow.transforms) == 3
+
+    def rec(is_ess):
+        z = jnp.asarray(0.0)
+        return AdaptiveRound(z, z, jnp.asarray(is_ess), z, z, z)
+
+    samples = jax.random.normal(jax.random.key(0), (256, 2))
+    flow = build_flow(samples, jax.random.key(1), kind="affine", n_blocks=1)
+    assert len(flow.transforms) == 2  # standardize + 1 affine block
+
+    # fewer than 2 rounds recorded: no growth possible yet
+    f, n, grew = maybe_grow_flow(flow, [rec(0.1)], 0, cfg, 2,
+                                 jax.random.key(2))
+    assert not grew and n == 0 and f is flow
+    # improving (no stall): no growth
+    f, n, grew = maybe_grow_flow(flow, [rec(0.1), rec(0.3)], 0, cfg, 2,
+                                 jax.random.key(2))
+    assert not grew
+    # above target: no growth even when flat
+    f, n, grew = maybe_grow_flow(flow, [rec(0.8), rec(0.8)], 0, cfg, 2,
+                                 jax.random.key(2))
+    assert not grew
+    # stalled below target: append one RQS block, mask alternated
+    f, n, grew = maybe_grow_flow(flow, [rec(0.1), rec(0.1)], 0, cfg, 2,
+                                 jax.random.key(2))
+    assert grew and n == 1 and len(f.transforms) == 3
     # the grown flow still round-trips exactly
-    x = jax.random.normal(jax.random.key(1), (64, 2))
-    z, ladj_f = res.flow.forward_and_ladj(x)
-    x2, ladj_i = res.flow.inverse_and_ladj(z)
+    x = jax.random.normal(jax.random.key(3), (64, 2))
+    z, ladj_f = f.forward_and_ladj(x)
+    x2, ladj_i = f.inverse_and_ladj(z)
     assert jnp.allclose(x2, x, atol=1e-4)
     assert jnp.allclose(ladj_f, -ladj_i, atol=1e-4)
+    # second stalled append alternates the mask again; then the cap binds
+    f, n, grew = maybe_grow_flow(f, [rec(0.1), rec(0.1)], n, cfg, 2,
+                                 jax.random.key(4))
+    assert grew and n == 2 and len(f.transforms) == 4
+    assert f.transforms[-1].mask != f.transforms[-2].mask
+    f2, n2, grew = maybe_grow_flow(f, [rec(0.1), rec(0.1)], n, cfg, 2,
+                                   jax.random.key(5))
+    assert not grew and n2 == 2 and f2 is f
 
 
 @pytest.mark.slow

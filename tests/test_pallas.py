@@ -90,7 +90,7 @@ def _fused_pair(d, knots=4, hidden=(16,), key=0, wscale=0.1):
     return blk, dataclasses.replace(blk, use_pallas="fused")
 
 
-@pytest.mark.parametrize("d,batch", [(4, 37), (8, 256), (6, 128)])
+@pytest.mark.parametrize("d,batch", [(4, 37), (8, 256)])
 def test_fused_coupling_forward_inverse_match_oracle(d, batch):
     """Whole-block fused kernel (kernels/coupling_pallas) vs the jnp block:
     conditioner matmul + spline + masked ladj reduce, incl. batch padding
@@ -120,6 +120,8 @@ def test_fused_coupling_forward_inverse_match_oracle(d, batch):
     assert jnp.allclose(l_f + li_rt, jnp.zeros_like(l_f), atol=1e-4)
 
 
+@pytest.mark.slow  # 4 interpret-mode Pallas grads (~65 s CPU); the fast
+# tier keeps the fwd/inv value match + the elementwise-kernel VJP match
 def test_fused_coupling_vjp_matches_oracle():
     """The fused block's single-kernel backward (weight cotangents
     accumulated across batch-tile grid steps) equals jax.grad of the

@@ -30,6 +30,8 @@ def _run(key, ckpt=None):
                    checkpoint_dir=ckpt)
 
 
+@pytest.mark.slow  # 3 full SMC runs (~70 s CPU); the fast tier keeps
+# per-stage checkpointing covered via test_adaptive_resume
 def test_smc_resume_matches_uninterrupted(tmp_path):
     ckpt = str(tmp_path / "smc")
     ref = _run(jax.random.key(2))
