@@ -90,6 +90,10 @@ class NUTSSpec:
     # "stan" (doubling Welford windows; right for raw multiscale targets —
     # see mcmc/sample.py step-size & schedule policy)
     warmup_schedule: str = "single"
+    # device-program partition (mcmc/sample.py chunk_size): results are
+    # bitwise chunk-invariant; 256 bounds single-program runtime on the
+    # tunneled chip while keeping per-call dispatch negligible
+    chunk_size: int = 256
 
 
 @dataclass(frozen=True)

@@ -118,10 +118,17 @@ def _run_task(cfg) -> dict:
                        max_depth=cfg.nuts.max_depth,
                        target_accept=cfg.nuts.target_accept,
                        warmup_schedule=cfg.nuts.warmup_schedule,
-                       chunk_size=32)
+                       chunk_size=cfg.nuts.chunk_size)
         x = res.samples
         if flow is not None:
-            x = flow.inverse(x.reshape(-1, dim)).reshape(x.shape)
+            # jitted + chunked over draws: an eager inverse materializes
+            # the full (draws*chains, d, 3K-1) spline-param tensor at once
+            # (GBs for RQS flows at production sizes — see bench.py)
+            inv = jax.jit(lambda zz: flow.inverse(zz.reshape(-1, dim))
+                          .reshape(zz.shape))
+            x = jnp.concatenate(
+                [inv(x[lo:lo + 64]) for lo in range(0, x.shape[0], 64)],
+                axis=0)
         ess = effective_sample_size(x)
         out = {"min_ess": float(jnp.min(ess)),
                "max_rhat": float(jnp.max(split_rhat(x))),
