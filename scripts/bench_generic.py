@@ -41,7 +41,7 @@ def main() -> None:
                     "flow, mixed masks, no target-specific structure.\n")
             for ln in lines:
                 rec = json.loads(ln)
-                if "metric" in rec or "variant" in rec:
+                if "metric" in rec or "variant" in rec or "window" in rec:
                     f.write(ln + "\n")
     sys.exit(code)
 

@@ -78,7 +78,10 @@ def main():
         base = dataclasses.replace(
             base, net=dataclasses.replace(base.net, weights=tuple(ws)))
         impls = {
-            "jnp": base,
+            # explicit False: the init default is now "auto", which would
+            # silently resolve to the fused kernel at aligned d on TPU —
+            # the baseline must stay the XLA path
+            "jnp": dataclasses.replace(base, use_pallas=False),
             "pallas_elem": dataclasses.replace(base, use_pallas=True),
             "pallas_fused": dataclasses.replace(base, use_pallas="fused"),
         }
