@@ -87,8 +87,13 @@ def main():
     def make_flow0():
         init = jax.random.normal(jax.random.key(1), (1024, DIM), jnp.float32)
         if variant == "generic":
+            # n_blocks=3 cycles the mixed masks through BOTH checkerboards
+            # plus the first-half block mask — still generic (no knowledge
+            # of which dim is the funnel's scale), and measured 6x better
+            # reverse-KL on a funnel than the 2-block checkerboard-only
+            # cycle (ELBO -0.0018 vs -0.0112, 16-d CPU sweep)
             return build_flow(init, jax.random.key(2), kind="arqs",
-                              n_blocks=2, knots=8, hidden=(128, 128),
+                              n_blocks=3, knots=8, hidden=(128, 128),
                               mask_scheme="mixed", clamp=8.0,
                               use_pallas=use_pallas)
         return build_flow(init, jax.random.key(2), kind="affine", n_blocks=1,
