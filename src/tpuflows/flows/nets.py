@@ -25,21 +25,34 @@ _ACTIVATIONS = {
 
 @pytree_dataclass
 class MLP:
-    """weights[i]: (d_in, d_out); biases[i]: (d_out,). Last layer linear."""
+    """weights[i]: (d_in, d_out); biases[i]: (d_out,). Last layer linear.
+
+    compute_dtype="bf16" (opt-in) casts matmul OPERANDS to bfloat16 —
+    halving their HBM traffic and unlocking the full-rate MXU path —
+    while `preferred_element_type` keeps ACCUMULATION in f32 and
+    activations/bias adds stay f32. Params remain f32 (the optimizer
+    state and spline math never see bf16). The conditioner only shapes
+    spline parameters, whose normalization (softmax/softplus) compresses
+    small perturbations, so bf16 operand rounding perturbs the flow far
+    below the 3-MC-sigma gates — but it DOES change bits, hence opt-in
+    (default f32 keeps goldens and exact jnp-oracle matches)."""
 
     weights: tuple
     biases: tuple
     activation: str = static_field(default="silu")
+    compute_dtype: str = static_field(default="f32")  # "f32" | "bf16"
 
     def __call__(self, x: jax.Array) -> jax.Array:
         act = _ACTIVATIONS[self.activation]
+        bf16 = self.compute_dtype == "bf16"
         n = len(self.weights)
         for i, (w, b) in enumerate(zip(self.weights, self.biases)):
-            # preferred_element_type pins MXU accumulation to f32 even if
-            # activations are later cast to bf16.
+            lhs = x.astype(jnp.bfloat16) if bf16 else x
+            rhs = w.astype(jnp.bfloat16) if bf16 else w
+            # preferred_element_type pins accumulation to f32 either way
             x = (
                 jax.lax.dot_general(
-                    x, w,
+                    lhs, rhs,
                     dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -55,6 +68,7 @@ class MLP:
         sizes: Sequence[int],
         activation: str = "silu",
         final_zero: bool = True,
+        compute_dtype: str = "f32",
     ) -> "MLP":
         """He-init hidden layers; optionally zero-init the final layer so a
         fresh coupling block starts at (approximately) the identity map —
@@ -70,4 +84,5 @@ class MLP:
                 w = scale * jax.random.normal(keys[i], (d_in, d_out), jnp.float32)
             ws.append(w)
             bs.append(jnp.zeros((d_out,), jnp.float32))
-        return MLP(weights=tuple(ws), biases=tuple(bs), activation=activation)
+        return MLP(weights=tuple(ws), biases=tuple(bs), activation=activation,
+                   compute_dtype=compute_dtype)

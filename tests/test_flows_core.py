@@ -126,3 +126,38 @@ def test_scanned_repeat_matches_chain():
     xc, li = rep.inverse_and_ladj(zr)
     assert jnp.allclose(xc, x, atol=1e-5)
     assert jnp.allclose(li, -lr, atol=1e-5)
+
+
+def test_mlp_bf16_compute_policy():
+    """Opt-in bf16 conditioner compute (flows/nets.py): matmul operands in
+    bfloat16, accumulation and params f32. The output tracks the f32 net
+    to bf16 rounding; the coupling round-trip stays EXACT because the
+    inverse evaluates the same conditioner on the same pass-through bits."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpuflows.flows import RQSCouplingBlock
+    from tpuflows.flows.nets import MLP
+
+    net = MLP.init(jax.random.key(0), (8, 32, 8), final_zero=False)
+    x = jax.random.normal(jax.random.key(1), (64, 8))
+    y32 = net(x)
+    net16 = dataclasses.replace(net, compute_dtype="bf16")
+    y16 = net16(x)
+    assert y16.dtype == jnp.float32  # f32 accumulation/output
+    err = jnp.max(jnp.abs(y16 - y32)) / (1.0 + jnp.max(jnp.abs(y32)))
+    assert 0 < float(err) < 2e-2  # bf16 has ~8 mantissa bits
+
+    blk = RQSCouplingBlock.init(jax.random.key(2), (1, 0, 1, 0, 1, 0, 1, 0),
+                                knots=4, hidden=(16,))
+    ws = list(blk.net.weights)
+    ws[-1] = 0.1 * jax.random.normal(jax.random.key(3), ws[-1].shape)
+    blk = dataclasses.replace(
+        blk, net=dataclasses.replace(blk.net, weights=tuple(ws),
+                                     compute_dtype="bf16"))
+    z, ladj_f = blk.forward_and_ladj(x)
+    x2, ladj_i = blk.inverse_and_ladj(z)
+    assert jnp.allclose(x2, x, atol=1e-4)
+    assert jnp.allclose(ladj_f, -ladj_i, atol=1e-4)
