@@ -181,7 +181,11 @@ def make_reverse_kl_trainer(
     anneal_steps: int = 0,
     axis_name: Optional[str] = None,
     stl: bool = False,
-    chunk_size: int = 200,
+    # chunk partitioning is bitwise result-invariant; 2000-step chunks are
+    # ~0.2-1 s device programs (tunnel-safe) while 200-step chunks paid
+    # ~100 ms per-call tunnel overhead 10x as often — measured 1.6k vs
+    # 21.7k steps/s on the bench fit (bench.py TRAIN_CHUNK note)
+    chunk_size: int = 2000,
 ):
     """Build a REUSABLE chunked reverse-KL trainer.
 
