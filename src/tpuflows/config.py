@@ -128,6 +128,8 @@ class SMCSpec:
     max_stages: int = 200
     latent_mutation: bool = True
     retrain_every: int = 0
+    retrain_mode: str = "freeze"  # freeze | reweight (see SMCConfig)
+    final_equilibration_stages: int = 0
     sharded: bool = False
     # bridge-flow pretraining before SMC starts: "none" builds the flow from
     # standard-normal init draws (untrained); "prior" pretrains it by forward
@@ -150,6 +152,8 @@ class SMCSpec:
             max_stages=self.max_stages,
             latent_mutation=self.latent_mutation,
             retrain_every=self.retrain_every,
+            retrain_mode=self.retrain_mode,
+            final_equilibration_stages=self.final_equilibration_stages,
         )
 
 

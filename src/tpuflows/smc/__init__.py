@@ -5,7 +5,12 @@ from tpuflows.smc.resample import (
     resample,
     systematic_indices,
 )
-from tpuflows.smc.sampler import SMCConfig, SMCResult, run_smc
+from tpuflows.smc.sampler import (
+    SMCConfig,
+    SMCResult,
+    run_smc,
+    smc_measured_ess,
+)
 
 __all__ = [
     "next_beta",
@@ -17,4 +22,5 @@ __all__ = [
     "SMCConfig",
     "SMCResult",
     "run_smc",
+    "smc_measured_ess",
 ]

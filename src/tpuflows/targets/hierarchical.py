@@ -62,6 +62,22 @@ def _exact_moments(y, noise, prior_mu_scale, n_grid=801, lo=-6.0, hi=4.0):
         means[k, 1] = lt
         means[k, 2:] = a * m_mu + b * y
         v_mu_g[k], a_g[k], c_g[k] = v_mu, a, c
+    # quadrature log-evidence BEFORE the max-shift below destroys the
+    # absolute scale: log p(y) = log ∫ exp(logw(lt)) dlt − ½log(2π) —
+    # logw(lt) = log N(y; 0, w2·I + pm²·11ᵀ) + (−½lt²), i.e. mu and theta
+    # are marginalized analytically (Sherman-Morrison) and the log_tau
+    # prior's −½log(2π) constant is added back here. Trapezoid on the
+    # uniform grid; the integrand decays as exp(−lt²/2)·p(y|lt) at both
+    # ends, so truncation error is negligible relative to the grid
+    # discretization (validated against 2-D brute-force quadrature in
+    # tests/test_targets.py).
+    lw_max = logw.max()
+    trap = np.exp(logw - lw_max)
+    trap[0] *= 0.5
+    trap[-1] *= 0.5
+    log_evidence = (lw_max + np.log(trap.sum() * (lts[1] - lts[0]))
+                    - 0.5 * _LOG2PI)
+
     logw -= logw.max()
     w = np.exp(logw)
     w /= w.sum()
@@ -78,7 +94,7 @@ def _exact_moments(y, noise, prior_mu_scale, n_grid=801, lo=-6.0, hi=4.0):
         ck[2:, 2:] += np.eye(J) * c_g[k]
         dm = means[k] - mean
         cov += w[k] * (ck + np.outer(dm, dm))
-    return mean, cov, (lts, w, v_mu_g, a_g, c_g, means)
+    return mean, cov, log_evidence, (lts, w, v_mu_g, a_g, c_g, means)
 
 
 @pytree_dataclass
@@ -136,8 +152,9 @@ class HierarchicalGaussian(Target):
     def _truth(self):
         if not hasattr(self, "_truth_cache"):
             y = np.asarray(self.y, np.float64)
-            mean, cov, aux = _exact_moments(y, self.noise, self.prior_mu_scale)
-            object.__setattr__(self, "_truth_cache", (mean, cov, aux))
+            mean, cov, log_ev, aux = _exact_moments(
+                y, self.noise, self.prior_mu_scale)
+            object.__setattr__(self, "_truth_cache", (mean, cov, log_ev, aux))
         return self._truth_cache
 
     def mean(self):
@@ -145,6 +162,13 @@ class HierarchicalGaussian(Target):
 
     def cov(self):
         return jnp.asarray(self._truth()[1], jnp.float32)
+
+    def log_evidence(self) -> float:
+        """Quadrature-exact log p(y) = log ∫ exp(log_density(x)) dx — the
+        ground truth for SMC/bridge logZ estimates (log_density includes
+        every normalizing constant, so its integral IS the evidence).
+        Float64, same 1-D log_tau grid as the exact moments."""
+        return float(self._truth()[2])
 
     def sample_prior(self, key, n):
         """Draws from the model PRIOR p(mu, log_tau, theta) — no data, no
@@ -162,7 +186,7 @@ class HierarchicalGaussian(Target):
     def sample(self, key, n):
         """Exact posterior sampling: grid-categorical over log_tau, then the
         conditional Gaussian (used only for tests / flow pre-training)."""
-        mean, cov, (lts, w, v_mu_g, a_g, c_g, means) = self._truth()
+        mean, cov, _, (lts, w, v_mu_g, a_g, c_g, means) = self._truth()
         kk, km, kt, ke = jax.random.split(key, 4)
         idx = jax.random.categorical(
             kk, jnp.log(jnp.asarray(w, jnp.float32) + 1e-30), shape=(n,)

@@ -26,6 +26,34 @@ def _diag(cov):
     return jnp.diag(cov)
 
 
+def test_family_threshold_calibration():
+    """Bonferroni threshold: a PERFECT sampler passes the family-corrected
+    gate at the single-test 3-sigma rate, while the raw max-z gate over
+    many dims rejects it often. Monte-Carlo over 200 iid-normal datasets."""
+    import numpy as np
+
+    from tpuflows.diagnostics.moments import family_threshold
+
+    # closed-form sanity: m=1 leaves the threshold unchanged
+    assert abs(family_threshold(3.0, 1) - 3.0) < 1e-9
+    t512 = family_threshold(3.0, 512)
+    assert 4.2 < t512 < 4.9
+    rng = np.random.RandomState(0)
+    d, n = 64, 4000
+    fails_raw = fails_fam = 0
+    for _ in range(200):
+        x = rng.randn(n, d).astype(np.float32)
+        raw = moment_gate(x, np.zeros(d), np.ones(d))
+        fam = moment_gate(x, np.zeros(d), np.ones(d),
+                          family_correction=True)
+        fails_raw += not raw.passed
+        fails_fam += not fam.passed
+    # raw max-z over 128 moments fails a perfect sampler frequently;
+    # the corrected gate almost never does
+    assert fails_raw >= 10, fails_raw
+    assert fails_fam <= 2, fails_fam
+
+
 def test_gate_c1_std_normal_flow_fit():
     """Config 1: flow fit on exact samples; gate on flow draws,
     MULTI-SEED CALIBRATED (round-1 review: a single hand-picked eval key

@@ -95,6 +95,47 @@ def test_hierarchical_ground_truth_consistency():
     assert np.isfinite(lp_mean) and lp_mean > lp_far
 
 
+def test_hierarchical_log_evidence_quadrature():
+    """log_evidence() (1-D log_tau grid, mu/theta marginalized analytically)
+    against INDEPENDENT 2-D brute-force quadrature over (mu, log_tau) with
+    theta integrated analytically: p(y | mu, lt) = prod_i N(y_i; mu,
+    tau^2 + noise^2). Small J so the 2-D grid is cheap and dense."""
+    t = HierarchicalGaussian.standard(dim=6)  # J = 4
+    y = np.asarray(t.y, np.float64)
+    mus = np.linspace(-20.0, 20.0, 2001)
+    lts = np.linspace(-7.0, 5.0, 1201)
+    mu_g, lt_g = np.meshgrid(mus, lts, indexing="ij")
+    w2 = np.exp(2.0 * lt_g) + t.noise**2
+    log_lik = np.zeros_like(mu_g)
+    for yi in y:
+        log_lik += -0.5 * (yi - mu_g) ** 2 / w2 - 0.5 * np.log(
+            2 * np.pi * w2)
+    log_prior = (-0.5 * (mu_g / t.prior_mu_scale) ** 2
+                 - 0.5 * np.log(2 * np.pi * t.prior_mu_scale**2)
+                 - 0.5 * lt_g**2 - 0.5 * np.log(2 * np.pi))
+    li = log_lik + log_prior
+    m = li.max()
+    brute = m + np.log(np.exp(li - m).sum()
+                       * (mus[1] - mus[0]) * (lts[1] - lts[0]))
+    assert abs(t.log_evidence() - brute) < 1e-4, (t.log_evidence(), brute)
+    # ... and log_density carries COMPLETE normalizing constants (so its
+    # integral IS the evidence): hand-evaluate the joint at one point
+    # (theta = y so the likelihood quadratic vanishes)
+    mu0, lt0 = 1.0, 0.3
+    xm = np.zeros((1, 6), np.float64)
+    xm[0, 0], xm[0, 1] = mu0, lt0
+    xm[0, 2:] = y
+    t2 = np.exp(2 * lt0)
+    joint = (-0.5 * (mu0 / t.prior_mu_scale) ** 2
+             - 0.5 * np.log(2 * np.pi * t.prior_mu_scale**2)
+             - 0.5 * lt0**2 - 0.5 * np.log(2 * np.pi)
+             + sum(-0.5 * (yi - mu0) ** 2 / t2
+                   - 0.5 * np.log(2 * np.pi * t2) for yi in y)
+             + len(y) * (-0.5 * np.log(2 * np.pi * t.noise**2)))
+    lp0 = float(t.log_density(jnp.asarray(xm, jnp.float32))[0])
+    assert abs(lp0 - joint) < 1e-3
+
+
 def test_banana_density_matches_sampler():
     """Banana: exact samples vs analytic moments, and the log-density is a
     proper normalized pdf (checked by importance sampling against its own
