@@ -25,17 +25,26 @@ def main() -> None:
     out, err = io.StringIO(), io.StringIO()
     code = 0
     try:
-        with redirect_stdout(out), redirect_stderr(err):
-            runpy.run_path(os.path.join(ROOT, "bench.py"), run_name="__main__")
-    except SystemExit as e:  # bench exits 1 if the convergence gate fails
-        code = int(e.code or 0)
-    sys.stdout.write(out.getvalue())
-    sys.stderr.write(err.getvalue())
+        # replay the captured output in `finally`: if bench.py raises
+        # anything other than SystemExit, the diagnostics must not be
+        # swallowed with the redirect (ADVICE r3)
+        try:
+            with redirect_stdout(out), redirect_stderr(err):
+                runpy.run_path(os.path.join(ROOT, "bench.py"),
+                               run_name="__main__")
+        except SystemExit as e:  # bench exits 1 if the gate fails
+            code = int(e.code or 0)
+    finally:
+        sys.stdout.write(out.getvalue())
+        sys.stderr.write(err.getvalue())
     if code == 0:
         lines = [ln for ln in (err.getvalue() + out.getvalue()).splitlines()
                  if ln.startswith("{")]
+        # fresh runs land in *_latest.json — the curated multi-paragraph
+        # header of the committed artifact is never clobbered (ADVICE r3);
+        # promote a run by hand after reviewing it
         path = os.path.join(ROOT, "docs", "artifacts",
-                            "bench_generic_tpu.json")
+                            "bench_generic_tpu_latest.json")
         with open(path, "w") as f:
             f.write("# Generic-path north-star bench: arqs (affine+RQS) "
                     "flow, mixed masks, no target-specific structure.\n")

@@ -123,7 +123,7 @@ def main():
                                        0),
         "particles_per_s_end_to_end": round(args.particles / smc_s, 1),
         "measured_ess": round(measured_ess, 1),
-        "unique_ancestors": int(np.unique(np.asarray(res.ancestors)).size),
+        "unique_ancestors": res.unique_ancestors,
         "final_kish_ess": round(float(res.final_kish_ess), 1),
         "gate_passed": bool(gate.passed),
         "max_sigma_mean": round(float(gate.max_sigma_mean), 2),

@@ -55,7 +55,19 @@ class RQSCouplingBlock(Bijector):
     # backward because p-major raw slices stop being lane tiles).
     use_pallas: object = static_field(default=False)
 
-    def _kernel_choice(self):
+    def _kernel_choice(self, x=None):
+        """Resolve the kernel tier. "auto" assumes the computation runs on
+        the DEFAULT backend (jax.default_backend() at trace time) — a
+        CPU-committed computation on a TPU host should pin
+        use_pallas=False (ADVICE r3). Single-vector calls (x.ndim == 1,
+        which is also what each lane of an outer vmap sees) always take
+        the XLA path: a fused pallas_call under vmap lowers to one
+        TILE_B-padded program per batch element — a ~TILE_B x slowdown —
+        and the batched fused path is only reachable on explicitly
+        batched (N, d) inputs."""
+        if x is not None and x.ndim < 2:
+            return False if self.use_pallas in ("auto", "fused") \
+                else self.use_pallas
         if self.use_pallas == "auto":
             if jax.default_backend() == "tpu" and len(self.mask) % 128 == 0:
                 return "fused"
@@ -68,7 +80,7 @@ class RQSCouplingBlock(Bijector):
         return h.reshape(*h.shape[:-1], d, 3 * self.knots - 1)
 
     def forward_and_ladj(self, x):
-        kernel = self._kernel_choice()
+        kernel = self._kernel_choice(x)
         if kernel == "fused":
             from tpuflows.kernels.coupling_pallas import (
                 fused_coupling_forward,
@@ -85,7 +97,7 @@ class RQSCouplingBlock(Bijector):
         return z, ladj
 
     def inverse_and_ladj(self, z):
-        kernel = self._kernel_choice()
+        kernel = self._kernel_choice(z)
         if kernel == "fused":
             from tpuflows.kernels.coupling_pallas import (
                 fused_coupling_inverse,

@@ -57,14 +57,19 @@ class HMCInfo(NamedTuple):
 def make_hmc_kernel(
     log_density: Callable,
     num_leapfrog: int = 10,
+    logp_and_grad: Callable | None = None,
 ):
     """Fixed-trajectory-length HMC with an MH correction.
 
     Returns transition(key, q, eps, inv_mass) -> (q_new, HMCInfo) on a
     single chain; vmap for many chains. The leapfrog loop is a lax.scan, so
     the compiled program size is O(1) in num_leapfrog.
+
+    `logp_and_grad` overrides jax.value_and_grad(log_density) — see
+    kernels/fused_logp.py (fused Pallas gradient).
     """
-    logp_and_grad = jax.value_and_grad(log_density)
+    if logp_and_grad is None:
+        logp_and_grad = jax.value_and_grad(log_density)
 
     def transition(key, q, eps, inv_mass):
         k_mom, k_acc = jax.random.split(key)

@@ -86,13 +86,20 @@ def make_nuts_kernel(
     log_density: Callable,
     max_depth: int = 8,
     max_delta_energy: float = 1000.0,
+    logp_and_grad: Callable | None = None,
 ):
     """Build transition(key, q, eps, inv_mass) -> (q_new, NUTSInfo).
 
     Single chain on a (d,) vector; vmap over chains. `eps` scalar,
     `inv_mass` (d,) are shared adaptation parameters.
+
+    `logp_and_grad(q) -> (logp, grad)` overrides the default
+    `jax.value_and_grad(log_density)` — the hook for the fused Pallas
+    leapfrog-gradient (kernels/fused_logp.py), whose custom_vmap rule
+    turns the caller's per-chain vmap into ONE batched device program.
     """
-    logp_and_grad = jax.value_and_grad(log_density)
+    if logp_and_grad is None:
+        logp_and_grad = jax.value_and_grad(log_density)
     neg_inf = jnp.asarray(-jnp.inf, jnp.float32)
 
     def build_subtree(key, z0, direction, n_leaves, h0, eps, inv_mass, d):

@@ -294,8 +294,10 @@ class NUTSDriver:
         adapt_mass: bool = True,
         per_chain_step_size: bool = False,
         warmup_schedule: str = "single",
+        logp_and_grad: Callable | None = None,
     ):
-        kernel = make_nuts_kernel(log_density, max_depth=max_depth)
+        kernel = make_nuts_kernel(log_density, max_depth=max_depth,
+                                  logp_and_grad=logp_and_grad)
         eps_axis = 0 if per_chain_step_size else None
         vkernel = jax.vmap(kernel, in_axes=(0, 0, eps_axis, None))
         self.per_chain_step_size = per_chain_step_size

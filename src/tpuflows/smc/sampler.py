@@ -106,6 +106,7 @@ class SMCResult(NamedTuple):
     log_z_sigma: float = float("nan")  # delta-method s.e. of log_z
     ancestors: jax.Array | None = None  # (n,) int32 initial-population lineage ids
     final_kish_ess: float = float("nan")  # Kish ESS of final weights pre-resample
+    unique_ancestors: int = 0  # distinct surviving lineages (device-counted)
 
 
 def smc_measured_ess(result: SMCResult) -> float:
@@ -114,20 +115,21 @@ def smc_measured_ess(result: SMCResult) -> float:
 
     (a) unique surviving ancestor lineages: `result.ancestors` carries each
         particle's index in the INITIAL population through every resampling
-        (updated inside the jitted stage), so distinct values count the
-        independent lineages the output is built from — conservative, since
-        duplicated lineages partially decorrelate under the HMC mutations
-        after their split;
+        (updated inside the jitted stage; distinct-count computed on device
+        so it works on multi-process global arrays), so distinct values
+        count the independent lineages the output is built from —
+        conservative, since duplicated lineages partially decorrelate under
+        the HMC mutations after their split;
     (b) the Kish ESS of the final importance weights before the final
         equal-weight resample.
 
     Feed this into diagnostics.moment_gate instead of an asserted divisor
     (VERDICT r3 missing #2)."""
-    import numpy as np
+    import math
 
-    uniq = int(np.unique(np.asarray(result.ancestors)).size)
+    uniq = float(result.unique_ancestors)
     kish = float(result.final_kish_ess)
-    return float(min(uniq, kish)) if np.isfinite(kish) else float(uniq)
+    return min(uniq, kish) if math.isfinite(kish) else uniq
 
 
 def _flow_log_q(flow, x):
@@ -536,14 +538,25 @@ def run_smc(
             print(f"[smc equilibrate {k}] accept={float(eq_acc):.3f} "
                   f"eps={float(eps):.4f}")
 
-    # final resample to equal weights (lineage ids follow their particles)
+    # final resample to equal weights (lineage ids follow their particles).
+    # One jitted program: under a mesh the arrays are GSPMD-global, and on
+    # multi-process runs eager ops on non-addressable arrays are illegal —
+    # including the distinct-lineage count, which is therefore computed on
+    # device (scatter-max presence vector) instead of host-side np.unique.
     from tpuflows.diagnostics import importance_weight_ess
 
-    final_kish = float(importance_weight_ess(log_w))
+    @jax.jit
+    def _finalize(k_final, x, log_w, anc):
+        kish = importance_weight_ess(log_w)
+        idx = systematic_indices(k_final, log_w)
+        x = jnp.take(x, idx, axis=0)
+        anc = jnp.take(anc, idx, axis=0)
+        present = jnp.zeros((x.shape[0],), jnp.int32).at[anc].max(
+            jnp.ones_like(anc))
+        return x, anc, kish, jnp.sum(present)
+
     key, k_final = jax.random.split(key)
-    idx = systematic_indices(k_final, log_w)
-    x = jnp.take(x, idx, axis=0)
-    anc = jnp.take(anc, idx, axis=0)
+    x, anc, final_kish, uniq = _finalize(k_final, x, log_w, anc)
 
     return SMCResult(
         particles=x,
@@ -556,5 +569,6 @@ def run_smc(
         flow=flow,
         log_z_sigma=jnp.sqrt(log_z_var),
         ancestors=anc,
-        final_kish_ess=final_kish,
+        final_kish_ess=float(final_kish),
+        unique_ancestors=int(uniq),
     )

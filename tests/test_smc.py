@@ -145,10 +145,13 @@ def test_smc_measured_ess_and_ancestors():
     assert bool(jnp.all((res.ancestors >= 0) & (res.ancestors < n)))
     ess = smc_measured_ess(res)
     assert 2.0 <= ess <= n
+    # the device-side distinct-lineage count (multi-process safe) matches
+    # host-side np.unique on this single-process run
+    assert res.unique_ancestors == int(jnp.unique(res.ancestors).size)
     # resampling fired (rel ESS dipped below threshold at some stage), so
     # lineages must have collapsed below n
     if bool(jnp.any(res.ess_hist < cfg.resample_threshold)):
-        assert int(jnp.unique(res.ancestors).size) < n
+        assert res.unique_ancestors < n
     assert float(res.log_z_sigma) > 0.0
 
 
