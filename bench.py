@@ -84,7 +84,12 @@ def main():
     from tpuflows.targets import NealsFunnel
     from tpuflows.vi import elbo
 
-    use_pallas = os.environ.get("TPUFLOWS_BENCH_PALLAS", "") == "1"
+    # "auto" (default): fused whole-transition NUTS kernel on TPU (measured
+    # 2.3x metric / 1.65x wall vs the XLA path, round 4); "0" forces the
+    # XLA path (the A/B baseline), "1" forces the kernel.
+    pallas_env = os.environ.get("TPUFLOWS_BENCH_PALLAS", "auto")
+    use_pallas = (jax.default_backend() == "tpu") if pallas_env == "auto" \
+        else pallas_env == "1"
     variant = os.environ.get("TPUFLOWS_BENCH_VARIANT", "ceiling")
     target = NealsFunnel(dim=DIM)
 
@@ -95,14 +100,17 @@ def main():
             # plus the first-half block mask — still generic (no knowledge
             # of which dim is the funnel's scale), and measured 6x better
             # reverse-KL on a funnel than the 2-block checkerboard-only
-            # cycle (ELBO -0.0018 vs -0.0112, 16-d CPU sweep)
+            # cycle (ELBO -0.0018 vs -0.0112, 16-d CPU sweep).
+            # Coupling-kernel tier stays on the engine's auto policy
+            # (XLA at d=64 — the fused coupling kernel's win regime is
+            # d % 128 == 0).
             return build_flow(init, jax.random.key(2), kind="arqs",
                               n_blocks=3, knots=8, hidden=(128, 128),
                               mask_scheme="mixed", clamp=8.0,
-                              use_pallas=use_pallas)
+                              use_pallas="auto")
         return build_flow(init, jax.random.key(2), kind="affine", n_blocks=1,
                           hidden=(128, 128), mask_scheme="leading",
-                          clamp=8.0, use_pallas=use_pallas)
+                          clamp=8.0, use_pallas="auto")
 
     def make_opt():
         return optax.chain(
@@ -133,8 +141,21 @@ def main():
 
     # ONE reusable driver: priming compiles the warmup/draw chunk programs
     # that the timed phases then reuse (window constants are traced, so the
-    # priming warmup can be short)
-    driver = NUTSDriver(logp, max_depth=MAX_DEPTH)
+    # priming warmup can be short).
+    # TPUFLOWS_BENCH_PALLAS=1 swaps in the whole-transition Pallas kernel
+    # (kernels/nuts_pallas.py): tree bookkeeping VMEM-resident per chain
+    # tile instead of vmap-while carry traffic (docs/perf.md round-4
+    # accounting: machinery is 3.4x the gradient cost on the XLA path).
+    # fused transition is validated for the ceiling (affine-flow) variant;
+    # the generic arqs variant keeps the XLA NUTS path (spline tile math
+    # inside the transition kernel is future work)
+    transition = None
+    if use_pallas and variant == "ceiling":
+        from tpuflows.kernels.nuts_pallas import fused_nuts_for_flow
+
+        transition = fused_nuts_for_flow(target.log_density, flow,
+                                         max_depth=MAX_DEPTH)
+    driver = NUTSDriver(logp, max_depth=MAX_DEPTH, transition=transition)
     st_p = driver.warmup(jax.random.key(99), q0, NUM_WARMUP,
                          chunk_size=NUTS_CHUNK)
     # prime with a FULL window AND the same key-derivation op (fold_in) so

@@ -55,6 +55,8 @@ class AdaptiveConfig(NamedTuple):
     n_blocks: int = 4
     knots: int = 8
     hidden: tuple = (64, 64)
+    mask_scheme: str = "alternating"
+    clamp: float = 4.0  # affine log-scale soft-clamp (arqs growth units too)
     train_epochs: int = 60
     train_batches: int = 16
     learning_rate: float = 1e-3
@@ -88,13 +90,30 @@ class AdaptiveResult(NamedTuple):
     converged: bool
 
 
+def _growth_mask(dim: int, i: int):
+    """The engine's generic mask menu for grown blocks: cycle both
+    checkerboards and both half-block masks — the same menu build_flow's
+    "mixed" scheme draws from. Block masks let a conditioner see leading
+    dims whole, which hierarchical/funnel-style targets (a global scale in
+    a leading dim) need; cycling them is target-agnostic."""
+    from tpuflows.util.shapes import alternating_mask, block_mask
+
+    kind = i % 4
+    if kind < 2:
+        return alternating_mask(dim, kind)
+    return block_mask(dim, kind - 2)
+
+
 def maybe_grow_flow(flow, rounds, n_grown, cfg, dim, key):
     """Growth decision + append (reference append-module helpers,
     SURVEY.md §2a row 2): when the flow-as-proposal IS-ESS has stalled
     between the last two rounds and is still below
-    `cfg.grow_is_ess_target`, append a fresh RQS coupling block with the
-    mask alternated past the existing modules, up to
-    `cfg.max_grown_blocks` appends. Returns (flow, n_grown, grew)."""
+    `cfg.grow_is_ess_target`, append a fresh coupling unit with the next
+    mask from the generic menu (`_growth_mask`: checkerboards + half
+    blocks), up to `cfg.max_grown_blocks` appends. With
+    `flow_kind="arqs"` the appended unit is an affine+RQS pair sharing the
+    mask (the same pairing build_flow uses: the affine carries unbounded
+    scale, the spline the shape). Returns (flow, n_grown, grew)."""
     if not (cfg.grow_on_stall and flow is not None and len(rounds) >= 2
             and n_grown < cfg.max_grown_blocks):
         return flow, n_grown, False
@@ -103,12 +122,19 @@ def maybe_grow_flow(flow, rounds, n_grown, cfg, dim, key):
     if not (is_now < cfg.grow_is_ess_target
             and is_now < is_prev * cfg.grow_min_gain):
         return flow, n_grown, False
+    from tpuflows.flows.affine import AffineCoupling
     from tpuflows.flows.coupling import RQSCouplingBlock
-    from tpuflows.util.shapes import alternating_mask
 
-    mask = alternating_mask(dim, len(flow.transforms) % 2)
+    # continue the mask cycle where the initial build left off: count the
+    # coupling units already present (an affine+RQS pair is one unit)
+    n_units = cfg.n_blocks + n_grown
+    mask = _growth_mask(dim, n_units)
+    k_aff, k_rqs = jax.random.split(key)
+    if cfg.flow_kind == "arqs":
+        flow = flow.append(AffineCoupling.init(
+            k_aff, mask, hidden=cfg.hidden, clamp=cfg.clamp))
     flow = flow.append(RQSCouplingBlock.init(
-        key, mask, knots=cfg.knots, hidden=cfg.hidden,
+        k_rqs, mask, knots=cfg.knots, hidden=cfg.hidden,
         use_pallas=cfg.use_pallas))
     return flow, n_grown + 1, True
 
@@ -232,6 +258,8 @@ def adaptive_fit(
                 n_blocks=cfg.n_blocks,
                 knots=cfg.knots,
                 hidden=cfg.hidden,
+                mask_scheme=cfg.mask_scheme,
+                clamp=cfg.clamp,
                 use_pallas=cfg.use_pallas,
             )
         train = policy.guard(

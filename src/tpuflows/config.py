@@ -94,6 +94,10 @@ class NUTSSpec:
     # bitwise chunk-invariant; 256 bounds single-program runtime on the
     # tunneled chip while keeping per-call dispatch negligible
     chunk_size: int = 256
+    # whole-transition Pallas NUTS (kernels/nuts_pallas.py): "auto" uses it
+    # on TPU for preconditioned runs with an affine flow (the validated
+    # regime, measured 1.65x draw wall-time); "on"/"off" force it
+    fused_kernel: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,451 @@
+"""Whole-NUTS-transition Pallas kernel: tree building, U-turn checkpoints,
+multinomial selection AND the leapfrog gradients in ONE device program.
+
+Why (VERDICT r3 weak #4, round-4 measurement): with the round-3 one-hot
+checkpoint fix the NUTS draw loop runs at ~60 us per batched leapfrog
+while the raw leapfrog-gradient op takes ~18 us — i.e. ~70% of draw time
+is tree BOOKKEEPING, dominated by HBM traffic: under `vmap` the
+`lax.while_loop` batching rule re-selects every carry (phase points,
+proposal, rho, and the (max_depth, d) checkpoint pair) against the
+per-chain halt mask on every leaf, each a full HBM read+write of ~5 MB
+per 1024-chain batch. Inside one Pallas program all of that state is
+VMEM-resident for a tile of chains — the bookkeeping becomes on-chip
+selects, and HBM traffic drops to q in / q_new out per transition.
+
+Design:
+  * ALL randomness is precomputed OUTSIDE the kernel (momentum normals,
+    per-doubling direction signs and acceptance uniforms, one uniform per
+    potential leaf — 2^max_depth + 2*max_depth + d floats per chain) and
+    passed as operands, so the kernel body is pure deterministic math: no
+    in-kernel PRNG, and a plain-jnp evaluation of the SAME math
+    (`_transition_math`) is the bitwise reference (and the CPU fallback).
+  * Lockstep is per TILE (tile_b chains), not per batch: the subtree and
+    doubling loops are `lax.while_loop`s whose condition is "any chain in
+    this tile still active", with per-chain masked updates — the same
+    masked-lockstep semantics `vmap` gives mcmc/nuts.py, at tile
+    granularity. The RNG consumption pattern differs from mcmc/nuts.py
+    (precomputed columns vs sequential splits), so draws are a DIFFERENT
+    exact-NUTS stream: equality tests are statistical (moment gates),
+    kernel-vs-jnp-reference tests are bitwise.
+  * The O(max_depth) U-turn checkpoint scheme is kept, but as max_depth
+    separate (tile, d) VMEM values (a static python list) — no 3-D
+    tensors, no dynamic indexing; slot selection is a static unrolled
+    compare against the traced slot scalar.
+  * The leapfrog gradient is trace-time `jax.vjp` of the user's tile
+    log-density (kernels/fused_logp.py pattern); trace-time constants are
+    hoisted into operands via the closed-jaxpr consts.
+
+Reference parity: SURVEY.md §2b row 14 / §7 hard part 1 — this is the
+speed-of-light version of the iterative multinomial NUTS; mcmc/nuts.py
+remains the portable implementation and the semantic oracle.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpuflows.mcmc.nuts import NUTSInfo, _popcount32, _trailing_zeros32
+
+DEFAULT_TILE_B = 256
+NEG_INF = float("-inf")
+
+
+def _is_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _full_spec(shape):
+    return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _row_spec(width, tile_b):
+    return pl.BlockSpec((tile_b, width), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _to_2d(leaf):
+    a = jnp.asarray(leaf)
+    if a.ndim == 0:
+        return a.reshape(1, 1)
+    if a.ndim == 1:
+        return a.reshape(1, a.shape[0])
+    return a
+
+
+def _transition_math(q, p0, dirs, u_acc, u_take, eps, inv_mass,
+                     logp_grad, max_depth, max_delta_energy):
+    """One batched NUTS transition on (T, d) chains, pure jnp.
+
+    q/p0: (T, d); dirs/u_acc: (T, max_depth); u_take: (T, 2^max_depth);
+    eps: scalar; inv_mass: (1, d); logp_grad: (T, d) -> ((T, 1), (T, d)).
+    Returns (q_new, lp_new, sum_accept, n_steps, depth, diverging,
+    turning, h0) — all (T, ·) with scalar-per-chain outputs shaped (T, 1).
+    """
+    T, d = q.shape
+    D = max_depth
+    L = u_take.shape[1]
+    f32 = jnp.float32
+
+    def kin(p):
+        return 0.5 * jnp.sum(p * p * inv_mass, axis=-1, keepdims=True)
+
+    def is_turning(p_left, p_right, rho):
+        v = rho * inv_mass
+        return ((jnp.sum(v * p_left, -1, keepdims=True) <= 0.0)
+                | (jnp.sum(v * p_right, -1, keepdims=True) <= 0.0))
+
+    lp0, g0 = logp_grad(q)
+    h0 = -lp0 + kin(p0)
+
+    lane_L = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+
+    def take_col(mat, col):
+        return jnp.sum(mat * (lane_L[:, :mat.shape[1]] == col), axis=1,
+                       keepdims=True)
+
+    # concrete-layout (T,1) zero / -inf: loop carries must not be
+    # initialized from splat constants (see the zero_d note below) —
+    # derive them from lp0, sanitized so 0*(-inf) cannot make NaN
+    lp0_s = jnp.where(jnp.isfinite(lp0), lp0, 0.0)
+    zeros1 = 0.0 * lp0_s
+    neg_inf1 = NEG_INF + zeros1
+    # Mosaic-driven representation choices (each earned by a compile
+    # failure, see docs/perf.md):
+    #  * halt flags are f32 0/1, never bool vectors (i1 conversions are
+    #    unsupported);
+    #  * (T,1)-predicate selects over (T,d) operands are ARITHMETIC
+    #    blends b + m*(a-b) — select_n unifies operand layouts and hits
+    #    an invalid concrete->replicated relayout when the predicate
+    #    descends from a lane reduce; same-width selects are fine;
+    #  * values that can be +-inf (log-weights, log-densities) stay in
+    #    same-width selects, and blended leapfrog outputs are sanitized
+    #    with full-width isfinite selects first (0*inf would poison).
+
+    def blend(m, a, b):
+        return b + m * (a - b)
+
+    def f32_of(pred):
+        return jnp.where(pred, 1.0, 0.0)
+
+    # trajectory carry: (k, leaf_col, zl(4), zr(4), q_prop, lp_prop, logw,
+    # rho, turning, diverging, sum_accept, n_steps, depth)
+    init = (
+        jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+        q, p0, lp0, g0,
+        q, p0, lp0, g0,
+        q, lp0,
+        zeros1,
+        p0,
+        zeros1, zeros1,
+        zeros1, zeros1, zeros1,
+    )
+
+    def outer_cond(c):
+        k = c[0]
+        turning, diverging = c[14], c[15]
+        return (k < D) & jnp.any((turning + diverging) < 0.5)
+
+    def outer_body(c):
+        (k, leaf_col, zl_q, zl_p, zl_lp, zl_g, zr_q, zr_p, zr_lp, zr_g,
+         q_prop, lp_prop, logw, rho, turning, diverging, sum_accept,
+         n_steps, depth) = c
+        active_f = f32_of((turning + diverging) < 0.5)
+        direction = take_col(dirs, k)  # (T,1) +-1
+        fwd_f = 0.5 * (direction + 1.0)
+        z_q = blend(fwd_f, zr_q, zl_q)
+        z_p = blend(fwd_f, zr_p, zl_p)
+        z_lp = jnp.where(fwd_f > 0.5, zr_lp, zl_lp)
+        z_g = blend(fwd_f, zr_g, zl_g)
+        eps_s = direction * eps
+        n_leaves = jnp.left_shift(jnp.asarray(1, jnp.int32), k)
+
+        # ---- subtree: up to n_leaves leapfrogs, tile-lockstep ----------
+        # (T,d) loop carries must NOT be initialized from splat constants:
+        # Mosaic infers a lane-replicated carry layout from a zeros init
+        # and then cannot relayout the body's concrete output back to it
+        # ("invalid relayout"). 0.0 * z_p is a concrete-layout zero that
+        # IEEE semantics keep un-foldable (0*inf would be NaN).
+        zero_d = 0.0 * z_p
+        ck_r = [zero_d for _ in range(D)]
+        ck_rs = [zero_d for _ in range(D)]
+        sub_init = (jnp.asarray(0, jnp.int32), leaf_col,
+                    z_q, z_p, z_lp, z_g,
+                    z_q, z_lp,              # st proposal
+                    neg_inf1,                # st logw
+                    zero_d,                  # st rho
+                    zeros1, zeros1,          # st turning / diverging (f32)
+                    zeros1, zeros1,          # st sum_accept / n_eval
+                    *ck_r, *ck_rs)
+
+        def sub_cond(s):
+            leaf_idx = s[0]
+            st_turn, st_div = s[10], s[11]
+            return (leaf_idx < n_leaves) & jnp.any(
+                (active_f > 0.5) & ((st_turn + st_div) < 0.5))
+
+        def sub_body(s):
+            (leaf_idx, col, s_q, s_p, s_lp, s_g, st_qp, st_lpp, st_logw,
+             st_rho, st_turn, st_div, st_acc, st_n) = s[:14]
+            cks = list(s[14:])
+            msk_f = active_f * f32_of((st_turn + st_div) < 0.5)  # (T,1)
+
+            p_half = s_p + 0.5 * eps_s * s_g
+            q_new = s_q + eps_s * p_half * inv_mass
+            lp_new, g_new = logp_grad(q_new)
+            p_new = p_half + 0.5 * eps_s * g_new
+            h = -lp_new + kin(p_new)
+            dh = h - h0
+            dh = jnp.where(jnp.isfinite(dh), dh, jnp.inf)
+            div_leaf = dh > max_delta_energy
+            logw_leaf = jnp.where(div_leaf, NEG_INF, -dh)
+            accept = jnp.minimum(1.0, jnp.exp(jnp.minimum(-dh, 0.0)))
+            accept = jnp.where(jnp.isfinite(accept), accept, 0.0)
+            logw_new = jnp.logaddexp(st_logw, logw_leaf)
+            u = take_col(u_take, col)
+            # divergent leaves may carry inf positions/momenta/grads:
+            # full-width sanitization so the blends below stay NaN-free
+            # (the leaf is excluded from proposals and the chain halts,
+            # so the zeros never reach an output)
+            q_new = jnp.where(jnp.isfinite(q_new), q_new, 0.0)
+            p_new = jnp.where(jnp.isfinite(p_new), p_new, 0.0)
+            g_new = jnp.where(jnp.isfinite(g_new), g_new, 0.0)
+            take_f = msk_f * f32_of(
+                (jnp.log(u) < logw_leaf - logw_new) & ~div_leaf)
+            st_qp = blend(take_f, q_new, st_qp)
+            st_lpp = jnp.where(take_f > 0.5, lp_new, st_lpp)
+
+            # checkpoint store: slot = popcount(leaf_idx), even leaves only
+            slot = _popcount32(leaf_idx)
+            store = (leaf_idx % 2) == 0
+            for i in range(D):
+                w_f = msk_f * f32_of(jnp.asarray(store & (slot == i)))
+                cks[i] = blend(w_f, p_new, cks[i])
+                cks[D + i] = blend(w_f, st_rho, cks[D + i])
+
+            rho_new = st_rho + p_new
+
+            # vectorized U-turn over complete subtrees ending at leaf n-1
+            n = leaf_idx + 1
+            tz = _trailing_zeros32(n)
+            pc = _popcount32(n)
+            idx_min = pc - 1
+            idx_max = pc - 2 + tz
+            even = (n % 2) == 0
+            any_turn = zeros1
+            for i in range(D):
+                valid = jnp.asarray(even & (i >= idx_min) & (i <= idx_max))
+                rho_i = rho_new - cks[D + i]
+                turn_i = is_turning(cks[i], p_new, rho_i)
+                any_turn = jnp.maximum(any_turn, f32_of(turn_i & valid))
+
+            st_turn = jnp.maximum(st_turn, msk_f * any_turn)
+            st_div = jnp.maximum(st_div, msk_f * f32_of(div_leaf))
+            st_logw = jnp.where(msk_f > 0.5, logw_new, st_logw)
+            st_rho = blend(msk_f, rho_new, st_rho)
+            st_acc = st_acc + msk_f * accept
+            st_n = st_n + msk_f
+            s_q = blend(msk_f, q_new, s_q)
+            s_p = blend(msk_f, p_new, s_p)
+            s_lp = jnp.where(msk_f > 0.5, lp_new, s_lp)
+            s_g = blend(msk_f, g_new, s_g)
+            return (leaf_idx + 1, col + 1, s_q, s_p, s_lp, s_g, st_qp,
+                    st_lpp, st_logw, st_rho, st_turn, st_div, st_acc, st_n,
+                    *cks)
+
+        sub = jax.lax.while_loop(sub_cond, sub_body, sub_init)
+        (_, leaf_col, e_q, e_p, e_lp, e_g, st_qp, st_lpp, st_logw, st_rho,
+         st_turn, st_div, st_acc, st_n) = sub[:14]
+
+        ok_f = active_f * f32_of((st_turn + st_div) < 0.5)
+        acc_p = jnp.minimum(1.0, jnp.exp(st_logw - logw))
+        take_f = ok_f * f32_of(take_col(u_acc, k) < acc_p)
+        q_prop = blend(take_f, st_qp, q_prop)
+        lp_prop = jnp.where(take_f > 0.5, st_lpp, lp_prop)
+
+        mr_f = ok_f * fwd_f
+        ml_f = ok_f * (1.0 - fwd_f)
+        zr_q = blend(mr_f, e_q, zr_q)
+        zr_p = blend(mr_f, e_p, zr_p)
+        zr_lp = jnp.where(mr_f > 0.5, e_lp, zr_lp)
+        zr_g = blend(mr_f, e_g, zr_g)
+        zl_q = blend(ml_f, e_q, zl_q)
+        zl_p = blend(ml_f, e_p, zl_p)
+        zl_lp = jnp.where(ml_f > 0.5, e_lp, zl_lp)
+        zl_g = blend(ml_f, e_g, zl_g)
+        logw = jnp.where(ok_f > 0.5, jnp.logaddexp(logw, st_logw), logw)
+        rho = blend(ok_f, rho + st_rho, rho)
+        turn_comb_f = f32_of(is_turning(zl_p, zr_p, rho))
+        turning = blend(active_f,
+                        jnp.maximum(st_turn, ok_f * turn_comb_f), turning)
+        diverging = blend(active_f, st_div, diverging)
+        sum_accept = sum_accept + active_f * st_acc
+        n_steps = n_steps + active_f * st_n
+        depth = blend(ok_f, jnp.full((T, 1), 0.0, f32) + (k + 1), depth)
+        return (k + 1, leaf_col, zl_q, zl_p, zl_lp, zl_g, zr_q, zr_p,
+                zr_lp, zr_g, q_prop, lp_prop, logw, rho, turning,
+                diverging, sum_accept, n_steps, depth)
+
+    out = jax.lax.while_loop(outer_cond, outer_body, init)
+    (_, _, _, _, _, _, _, _, _, _, q_prop, lp_prop, _, _, turning,
+     diverging, sum_accept, n_steps, depth) = out
+    return (q_prop, lp_prop, sum_accept, n_steps, depth,
+            diverging, turning, h0)
+
+
+def make_fused_nuts_transition(
+    logp_tile_fn: Callable,
+    example_params,
+    max_depth: int = 8,
+    max_delta_energy: float = 1000.0,
+    tile_b: int = DEFAULT_TILE_B,
+    interpret: bool | None = None,
+):
+    """Build a BATCHED NUTS transition backed by the fused Pallas kernel.
+
+    `logp_tile_fn(x, params) -> logp` is batch-polymorphic jnp ((..., d) ->
+    (...,)); `example_params` fixes the parameter pytree structure (values
+    are call-time operands). Returns
+    `transition(keys, q, eps, inv_mass, params=example_params)` with the
+    same contract as `jax.vmap(make_nuts_kernel(...))`: keys (n,) typed
+    PRNG keys, q (n, d), scalar eps, (d,) inv_mass -> (q_new, NUTSInfo).
+    Pass it to NUTSDriver(transition=...).
+
+    Off-TPU (or `interpret=False` everywhere pallas is unavailable) the
+    same math runs as plain XLA (`_transition_math` directly) — the
+    bitwise reference for the kernel."""
+    leaves, treedef = jax.tree_util.tree_flatten(example_params)
+    leaf_shapes = [jnp.shape(l) for l in leaves]
+    D = max_depth
+    L = 1 << max_depth
+
+    def _math(q, p0, dirs, u_acc, u_take, eps2d, inv_mass2d, *leaf2d):
+        orig = [v.reshape(s) for v, s in zip(leaf2d, leaf_shapes)]
+        p = jax.tree_util.tree_unflatten(treedef, orig)
+
+        def logp_grad(xt):
+            def tm(x):
+                return logp_tile_fn(x, p)[:, None]
+
+            lp, pull = jax.vjp(tm, xt)
+            (gx,) = pull(jnp.ones_like(lp))
+            return lp, gx
+
+        return _transition_math(q, p0, dirs, u_acc, u_take,
+                                eps2d[0, 0], inv_mass2d,
+                                logp_grad, max_depth, max_delta_energy)
+
+    def _pallas(q, p0, dirs, u_acc, u_take, eps2d, im2d, leaves2d):
+        n, d = q.shape
+        pad = (-n) % tile_b
+        if pad:
+            padw = lambda a: jnp.pad(a, ((0, pad), (0, 0)))  # noqa: E731
+            q, p0, dirs, u_acc, u_take = map(
+                padw, (q, p0, dirs, u_acc, u_take))
+        x_ex = [jax.ShapeDtypeStruct((tile_b, a.shape[1]), a.dtype)
+                for a in (q, p0, dirs, u_acc, u_take)]
+        op_ex = [jax.ShapeDtypeStruct(a.shape, a.dtype)
+                 for a in (eps2d, im2d, *leaves2d)]
+        closed = jax.make_jaxpr(_math)(*x_ex, *op_ex)
+        consts = [jnp.asarray(c) for c in closed.consts]
+        consts2d = [_to_2d(c) for c in consts]
+        const_shapes = [jnp.shape(c) for c in consts]
+        n_ops = 2 + len(leaves2d)
+        n_consts = len(consts2d)
+
+        def kernel(*refs):
+            ins = refs[:5]
+            op_refs = refs[5:5 + n_ops]
+            c_refs = refs[5 + n_ops:5 + n_ops + n_consts]
+            outs = refs[5 + n_ops + n_consts:]
+            vals = [r[:] for r in ins]
+            ops = [r[:] for r in op_refs]
+            cs = [r[:].reshape(s) for r, s in zip(c_refs, const_shapes)]
+            res = jax.core.eval_jaxpr(closed.jaxpr, cs, *vals, *ops)
+            for o_ref, val in zip(outs, res):
+                o_ref[:] = val.astype(o_ref.dtype)
+
+        run_interpret = (not _is_tpu()) if interpret is None else interpret
+        np_ = n + pad
+        out_shape = [
+            jax.ShapeDtypeStruct((np_, d), jnp.float32),   # q_prop
+            jax.ShapeDtypeStruct((np_, 1), jnp.float32),   # lp
+            jax.ShapeDtypeStruct((np_, 1), jnp.float32),   # sum_accept
+            jax.ShapeDtypeStruct((np_, 1), jnp.float32),   # n_steps
+            jax.ShapeDtypeStruct((np_, 1), jnp.float32),   # depth
+            jax.ShapeDtypeStruct((np_, 1), jnp.float32),   # diverging
+            jax.ShapeDtypeStruct((np_, 1), jnp.float32),   # turning
+            jax.ShapeDtypeStruct((np_, 1), jnp.float32),   # h0
+        ]
+        outs = pl.pallas_call(
+            kernel,
+            grid=(np_ // tile_b,),
+            in_specs=([_row_spec(a.shape[1], tile_b)
+                       for a in (q, p0, dirs, u_acc, u_take)]
+                      + [_full_spec(a.shape)
+                         for a in (eps2d, im2d, *leaves2d)]
+                      + [_full_spec(c.shape) for c in consts2d]),
+            out_specs=[_row_spec(s.shape[1], tile_b) for s in out_shape],
+            out_shape=out_shape,
+            interpret=run_interpret,
+        )(q, p0, dirs, u_acc, u_take, eps2d, im2d, *leaves2d, *consts2d)
+        return [o[:n] for o in outs]
+
+    def transition(keys, q, eps, inv_mass, params=example_params):
+        n, d = q.shape
+        im2d = jnp.asarray(inv_mass, jnp.float32).reshape(1, d)
+        eps2d = jnp.asarray(eps, jnp.float32).reshape(1, 1)
+
+        def derive(k):
+            k_mom, k_dir, k_acc, k_take = jax.random.split(k, 4)
+            p0 = jax.random.normal(k_mom, (d,), jnp.float32) / jnp.sqrt(
+                jnp.asarray(inv_mass, jnp.float32))
+            dirs = jnp.where(jax.random.bernoulli(k_dir, shape=(D,)),
+                             1.0, -1.0).astype(jnp.float32)
+            ua = jax.random.uniform(k_acc, (D,), jnp.float32)
+            ut = jax.random.uniform(k_take, (L,), jnp.float32)
+            return p0, dirs, ua, ut
+
+        p0, dirs, u_acc, u_take = jax.vmap(derive)(keys)
+        leaves2d = [_to_2d(l) for l in jax.tree_util.tree_leaves(params)]
+        # interpret=None: pallas on TPU, plain-XLA math elsewhere;
+        # interpret=True: pallas interpreter (kernel-path tests on CPU);
+        # interpret=False: force the plain-XLA math (bitwise reference)
+        use_pallas = _is_tpu() if interpret is None else interpret
+        if use_pallas:
+            res = _pallas(q, p0, dirs, u_acc, u_take, eps2d, im2d, leaves2d)
+        else:
+            res = _math(q, p0, dirs, u_acc, u_take, eps2d, im2d, *leaves2d)
+        (q_prop, lp, sum_acc, n_steps, depth, div, turn, h0) = res
+        n_steps = n_steps[:, 0]
+        info = NUTSInfo(
+            accept_prob=sum_acc[:, 0] / jnp.maximum(n_steps, 1.0),
+            num_steps=n_steps.astype(jnp.int32),
+            tree_depth=depth[:, 0].astype(jnp.int32),
+            diverging=div[:, 0] > 0.5,
+            turning=turn[:, 0] > 0.5,
+            energy=h0[:, 0],
+            logp=lp[:, 0],
+        )
+        return q_prop, info
+
+    return transition
+
+
+def fused_nuts_for_flow(log_density, flow, max_depth: int = 8,
+                        tile_b: int = DEFAULT_TILE_B,
+                        interpret: bool | None = None):
+    """Fused transition for flow-preconditioned NUTS (the north-star path):
+    logp~(z) = log_density(f^-1(z)) + ladj. Drop into
+    NUTSDriver(transition=...)."""
+
+    def tile_logp(z, fl):
+        x, ladj = fl.inverse_and_ladj(z)
+        return log_density(x) + ladj
+
+    return make_fused_nuts_transition(tile_logp, flow, max_depth=max_depth,
+                                      tile_b=tile_b, interpret=interpret)

@@ -111,6 +111,7 @@ def run_nuts(
     chunk_size: Optional[int] = None,
     per_chain_step_size: bool = False,
     warmup_schedule: str = "single",
+    transition: Optional[Callable] = None,
 ) -> MCMCResult:
     """Run vmapped NUTS chains with warmup adaptation.
 
@@ -144,9 +145,16 @@ def run_nuts(
     the unchunked run (same keys, same scan bodies)."""
     chex.assert_rank(init_positions, 2)  # (n_chains, d)
     n_chains, d = init_positions.shape
-    kernel = make_nuts_kernel(log_density, max_depth=max_depth)
-    eps_axis = 0 if per_chain_step_size else None
-    vkernel = jax.vmap(kernel, in_axes=(0, 0, eps_axis, None))
+    if transition is not None:
+        # natively batched transition (fused Pallas NUTS,
+        # kernels/nuts_pallas.py); pooled step size only
+        if per_chain_step_size:
+            raise ValueError("transition= requires pooled step size")
+        vkernel = transition
+    else:
+        kernel = make_nuts_kernel(log_density, max_depth=max_depth)
+        eps_axis = 0 if per_chain_step_size else None
+        vkernel = jax.vmap(kernel, in_axes=(0, 0, eps_axis, None))
 
     if warmup_schedule == "stan":
         closes_np, welford_start, window_end = stan_window_closes(num_warmup)
@@ -295,11 +303,24 @@ class NUTSDriver:
         per_chain_step_size: bool = False,
         warmup_schedule: str = "single",
         logp_and_grad: Callable | None = None,
+        transition: Callable | None = None,
     ):
-        kernel = make_nuts_kernel(log_density, max_depth=max_depth,
-                                  logp_and_grad=logp_and_grad)
-        eps_axis = 0 if per_chain_step_size else None
-        vkernel = jax.vmap(kernel, in_axes=(0, 0, eps_axis, None))
+        """`transition(keys, q, eps, inv_mass) -> (q_new, NUTSInfo)` — a
+        NATIVELY BATCHED transition (e.g. the fused Pallas kernel,
+        kernels/nuts_pallas.make_fused_nuts_transition) used in place of
+        vmap(make_nuts_kernel(...)). Requires pooled step size (the fused
+        kernel takes one scalar eps)."""
+        if transition is not None:
+            if per_chain_step_size:
+                raise ValueError(
+                    "transition= (batched kernel) requires pooled step "
+                    "size")
+            vkernel = transition
+        else:
+            kernel = make_nuts_kernel(log_density, max_depth=max_depth,
+                                      logp_and_grad=logp_and_grad)
+            eps_axis = 0 if per_chain_step_size else None
+            vkernel = jax.vmap(kernel, in_axes=(0, 0, eps_axis, None))
         self.per_chain_step_size = per_chain_step_size
         if warmup_schedule not in ("single", "stan"):
             raise ValueError(f"unknown warmup_schedule: {warmup_schedule!r}")

@@ -113,12 +113,24 @@ def _run_task(cfg) -> dict:
         else:
             flow = None
             logp = target.log_density
+        # whole-transition Pallas kernel in its validated regime (see
+        # NUTSSpec.fused_kernel): preconditioned + affine flow + TPU
+        transition = None
+        fk = cfg.nuts.fused_kernel
+        if fk == "on" or (fk == "auto" and flow is not None
+                          and cfg.flow.kind == "affine"
+                          and jax.default_backend() == "tpu"):
+            from tpuflows.kernels.nuts_pallas import fused_nuts_for_flow
+
+            transition = fused_nuts_for_flow(
+                target.log_density, flow, max_depth=cfg.nuts.max_depth)
         res = run_nuts(k_task, logp, q0, num_warmup=cfg.nuts.num_warmup,
                        num_samples=cfg.nuts.num_samples,
                        max_depth=cfg.nuts.max_depth,
                        target_accept=cfg.nuts.target_accept,
                        warmup_schedule=cfg.nuts.warmup_schedule,
-                       chunk_size=cfg.nuts.chunk_size)
+                       chunk_size=cfg.nuts.chunk_size,
+                       transition=transition)
         x = res.samples
         if flow is not None:
             # jitted + chunked over draws: an eager inverse materializes

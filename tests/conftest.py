@@ -13,9 +13,15 @@ import os
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_backend_optimization_level" not in _flags:
+    # the fast tier is COMPILE-bound (dozens of NUTS/SMC/train programs on
+    # tiny shapes): skipping XLA's CPU optimization pipeline cuts tier
+    # wall-time ~30% and changes no semantics the tests rely on
+    # (determinism tests compare same-process re-runs, statistical gates
+    # don't time anything)
+    _flags = _flags + " --xla_backend_optimization_level=0"
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 

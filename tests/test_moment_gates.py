@@ -39,9 +39,9 @@ def test_family_threshold_calibration():
     t512 = family_threshold(3.0, 512)
     assert 4.2 < t512 < 4.9
     rng = np.random.RandomState(0)
-    d, n = 64, 4000
+    d, n = 64, 1500
     fails_raw = fails_fam = 0
-    for _ in range(200):
+    for _ in range(60):
         x = rng.randn(n, d).astype(np.float32)
         raw = moment_gate(x, np.zeros(d), np.ones(d))
         fam = moment_gate(x, np.zeros(d), np.ones(d),
@@ -50,7 +50,7 @@ def test_family_threshold_calibration():
         fails_fam += not fam.passed
     # raw max-z over 128 moments fails a perfect sampler frequently;
     # the corrected gate almost never does
-    assert fails_raw >= 10, fails_raw
+    assert fails_raw >= 5, fails_raw
     assert fails_fam <= 2, fails_fam
 
 

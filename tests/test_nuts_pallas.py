@@ -1,0 +1,123 @@
+"""Fused whole-transition NUTS kernel (kernels/nuts_pallas.py).
+
+Three-level trust chain (mcmc/nuts.py remains the semantic oracle):
+  1. plain-XLA `_transition_math` samples the right distribution
+     (moment gates on a diag-normal vs truth),
+  2. the Pallas kernel (interpret mode on CPU) is BITWISE-equal to the
+     plain-XLA math — same jaxpr, different executor,
+  3. it drives NUTSDriver end-to-end (warmup adaptation + draws).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuflows.kernels.nuts_pallas import make_fused_nuts_transition
+from tpuflows.targets import DiagNormal
+
+
+def _target():
+    return DiagNormal(loc=jnp.array([1.0, -1.0, 0.5, 0.0]),
+                      scale=jnp.array([1.0, 0.5, 2.0, 1.0]))
+
+
+def test_fused_math_samples_correct_moments():
+    t = _target()
+    d, n = 4, 256
+    trans = make_fused_nuts_transition(lambda x, p: t.log_density(x), (),
+                                       max_depth=6, interpret=False)
+    eps = jnp.asarray(0.4)
+    im = jnp.asarray([1.0, 0.25, 4.0, 1.0], jnp.float32)
+    q = jax.random.normal(jax.random.key(0), (n, d), jnp.float32)
+
+    @jax.jit
+    def step(key, q):
+        return trans(jax.random.split(key, n), q, eps, im)
+
+    xs = []
+    for i in range(400):
+        q, info = step(jax.random.fold_in(jax.random.key(1), i), q)
+        if i >= 80:
+            xs.append(np.asarray(q))
+    x = np.concatenate(xs, 0)
+    tm = np.asarray(t.mean())
+    ts = np.asarray(jnp.sqrt(jnp.diagonal(t.cov())))
+    # chains are independent; thinned pooled draws ~ n_eff >= n * T / 5
+    se = ts / np.sqrt(n * len(xs) / 5.0)
+    assert np.all(np.abs(x.mean(0) - tm) < 5 * se), (x.mean(0), tm)
+    np.testing.assert_allclose(x.std(0), ts, rtol=0.06)
+    assert float(jnp.mean(info.accept_prob)) > 0.6
+
+
+def test_fused_kernel_bitwise_matches_math():
+    """Interpret-mode Pallas == plain-XLA math on every output, including
+    tree sizes and depths — same jaxpr, different executor (also covers
+    row padding: n % tile_b != 0)."""
+    t = _target()
+    d, n = 4, 20
+    eps = jnp.asarray(0.4)
+    im = jnp.ones((d,), jnp.float32)
+    q = jax.random.normal(jax.random.key(0), (n, d), jnp.float32)
+    keys = jax.random.split(jax.random.key(1), n)
+    logp = lambda x, p: t.log_density(x)  # noqa: E731
+    t_math = make_fused_nuts_transition(logp, (), max_depth=4, tile_b=8,
+                                        interpret=False)
+    t_pall = make_fused_nuts_transition(logp, (), max_depth=4, tile_b=8,
+                                        interpret=True)
+    q_m, i_m = t_math(keys, q, eps, im)
+    q_p, i_p = t_pall(keys, q, eps, im)
+    assert jnp.array_equal(q_m, q_p)
+    assert jnp.array_equal(i_m.num_steps, i_p.num_steps)
+    assert jnp.array_equal(i_m.tree_depth, i_p.tree_depth)
+    assert jnp.array_equal(i_m.logp, i_p.logp)
+    assert jnp.array_equal(i_m.diverging, i_p.diverging)
+
+
+def test_fused_transition_with_flow_params():
+    """Flow parameters ride as call-time operands (the preconditioned
+    path): transition through a trained-ish affine flow mixes and returns
+    finite diagnostics."""
+    from tpuflows.flows import build_flow
+    from tpuflows.kernels.nuts_pallas import fused_nuts_for_flow
+    from tpuflows.targets import NealsFunnel
+
+    dim, n = 8, 64
+    target = NealsFunnel(dim=dim)
+    init = jax.random.normal(jax.random.key(1), (256, dim), jnp.float32)
+    flow = build_flow(init, jax.random.key(2), kind="affine", n_blocks=1,
+                      hidden=(16,), mask_scheme="leading", clamp=8.0)
+    trans = fused_nuts_for_flow(target.log_density, flow, max_depth=5)
+    q = jax.random.normal(jax.random.key(3), (n, dim), jnp.float32)
+    keys = jax.random.split(jax.random.key(4), n)
+    q1, info = jax.jit(trans)(keys, q, jnp.asarray(0.3),
+                              jnp.ones((dim,), jnp.float32))
+    assert q1.shape == (n, dim)
+    assert bool(jnp.all(jnp.isfinite(q1)))
+    assert bool(jnp.all(info.num_steps >= 1))
+    assert float(jnp.mean(info.accept_prob)) > 0.2
+
+
+def test_driver_with_fused_transition():
+    """NUTSDriver(transition=...) warms up (pooled DA + Welford) and draws;
+    the result passes a loose moment check on the diag normal."""
+    from tpuflows.mcmc import NUTSDriver
+
+    t = _target()
+    d, n = 4, 128
+    trans = make_fused_nuts_transition(lambda x, p: t.log_density(x), (),
+                                       max_depth=6, interpret=False)
+    drv = NUTSDriver(t.log_density, max_depth=6, transition=trans)
+    q0 = jax.random.normal(jax.random.key(0), (n, d), jnp.float32)
+    st = drv.warmup(jax.random.key(1), q0, 200)
+    assert 0.05 < float(st.step_size) < 5.0
+    _, z, info = drv.draws(jax.random.key(2), st, 200)
+    x = np.asarray(z.reshape(-1, d))
+    tm = np.asarray(t.mean())
+    ts = np.asarray(jnp.sqrt(jnp.diagonal(t.cov())))
+    se = ts / np.sqrt(x.shape[0] / 5.0)
+    assert np.all(np.abs(x.mean(0) - tm) < 5 * se)
+    np.testing.assert_allclose(x.std(0), ts, rtol=0.12)
+    # per-chain adaptation is incompatible with the batched kernel
+    with pytest.raises(ValueError):
+        NUTSDriver(t.log_density, transition=trans,
+                   per_chain_step_size=True)

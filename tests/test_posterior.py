@@ -77,20 +77,20 @@ def test_log_pdf_normalized_by_quadrature():
 
 
 def test_prior_sampling_moments(prior):
-    th = np.asarray(prior.sample(jax.random.key(3), 200_000))
+    th = np.asarray(prior.sample(jax.random.key(3), 60_000))
     # analytic means: N(1,2)->1; logN(.5,.7)->exp(.5+.245); Exp(2)->0.5;
     # HalfN(1.5)->1.5*sqrt(2/pi); U(-1,3)->1; Beta(2,5)->2/7
     want = np.array([1.0, np.exp(0.5 + 0.7**2 / 2), 0.5,
                      1.5 * np.sqrt(2 / np.pi), 1.0, 2 / 7])
     got = th.mean(axis=0)
-    np.testing.assert_allclose(got, want, rtol=0.02, atol=0.02)
+    np.testing.assert_allclose(got, want, rtol=0.04, atol=0.04)
 
 
 def test_unconstrained_density_preserves_normalization(prior):
     # ∫ p(θ)dθ = ∫ p(θ(u))|dθ/du| du = 1, check by importance sampling
     # against a wide normal in u-space for the Uniform marginal.
     p = IndependentPrior([Uniform(-1.0, 3.0)])
-    u = 4.0 * jax.random.normal(jax.random.key(4), (400_000, 1))
+    u = 4.0 * jax.random.normal(jax.random.key(4), (150_000, 1))
     logq = -0.5 * (u / 4.0) ** 2 - jnp.log(4.0) - 0.5 * jnp.log(2 * jnp.pi)
     logp_u = p.log_pdf(p.constrain(u)) + p.constrain_ladj(u)
     z = jnp.mean(jnp.exp(logp_u - logq.squeeze(-1)))

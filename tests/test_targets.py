@@ -15,7 +15,7 @@ from tpuflows.targets import (
 )
 
 
-def mc_moments_check(target, n=200_000, seed=0, tol_sigma=4.0):
+def mc_moments_check(target, n=80_000, seed=0, tol_sigma=4.0):
     x = target.sample(jax.random.key(seed), n)
     mean = np.asarray(jnp.mean(x, 0))
     tmean = np.asarray(target.mean())
@@ -83,10 +83,10 @@ def test_hierarchical_ground_truth_consistency():
     cov = np.asarray(t.cov())
     assert mean.shape == (34,) and cov.shape == (34, 34)
     # exact sampler agrees with quadrature moments
-    x = t.sample(jax.random.key(2), 100_000)
+    x = t.sample(jax.random.key(2), 40_000)
     smean = np.asarray(jnp.mean(x, 0))
     svar = np.asarray(jnp.var(x, 0))
-    se = np.sqrt(np.diagonal(cov) / 100_000)
+    se = np.sqrt(np.diagonal(cov) / 40_000)
     assert np.all(np.abs(smean - mean) < 5 * se + 5e-3)
     np.testing.assert_allclose(svar, np.diagonal(cov), rtol=0.1, atol=5e-3)
     # log_density is finite and peaked near the posterior mean
@@ -144,7 +144,7 @@ def test_banana_density_matches_sampler():
     from tpuflows.targets import Banana
 
     t = Banana(dim=4, b=0.5, sigma1=2.0)
-    x = t.sample(jax.random.key(0), 200_000)
+    x = t.sample(jax.random.key(0), 80_000)
     np.testing.assert_allclose(np.asarray(jnp.mean(x, 0)),
                                np.asarray(t.mean()), atol=0.1)
     np.testing.assert_allclose(
@@ -167,7 +167,7 @@ def test_rosenbrock_sampler_matches_density_moments():
     from tpuflows.targets import Rosenbrock
 
     t = Rosenbrock(dim=4)
-    x = t.sample(jax.random.key(2), 200_000)
+    x = t.sample(jax.random.key(2), 80_000)
     np.testing.assert_allclose(np.asarray(jnp.mean(x, 0)),
                                np.asarray(t.mean()), atol=0.05)
     # density is exact: check conditional structure via log-density of
