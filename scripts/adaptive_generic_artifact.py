@@ -83,7 +83,8 @@ def search():
         flow_kind="arqs", n_blocks=1, knots=8, hidden=(128, 128),
         mask_scheme="alternating", clamp=8.0,
         n_chains=128, num_warmup=150, num_samples=150, max_depth=5,
-        train_epochs=60, train_batches=16, learning_rate=3e-3,
+        fit_method="reverse_kl", vi_steps=4000, vi_batch=1024,
+        learning_rate=3e-3,
         grow_on_stall=True, grow_is_ess_target=0.5, grow_min_gain=1.1,
         max_grown_blocks=4, max_rounds=8, ess_threshold=1500.0,
     )

@@ -50,7 +50,18 @@ class AdaptiveConfig(NamedTuple):
     num_samples: int = 300
     max_depth: int = 8
     target_accept: float = 0.8
-    # flow fit per round
+    # flow fit per round. fit_method:
+    #   "forward_kl" — the reference's recipe: fit the flow to the pooled
+    #     NUTS draws (optimize_flow). Right when the sampler already
+    #     reaches the whole target.
+    #   "reverse_kl" — adaptive VI: fit by self-sampled reverse KL against
+    #     the target density (fit_vi), which needs NO good draws — right
+    #     for raw multiscale targets where round-0 sampling is the
+    #     chicken-and-egg problem. Growth/stopping machinery unchanged.
+    #   "hybrid" — forward-KL fit, then a reverse-KL refinement.
+    fit_method: str = "forward_kl"
+    vi_steps: int = 2000
+    vi_batch: int = 1024
     flow_kind: str = "rqs"
     n_blocks: int = 4
     knots: int = 8
@@ -262,17 +273,35 @@ def adaptive_fit(
                 clamp=cfg.clamp,
                 use_pallas=cfg.use_pallas,
             )
-        train = policy.guard(
-            optimize_flow,
-            k_train,
-            flat,
-            flow,
-            opt,
-            nbatches=cfg.train_batches,
-            nepochs=cfg.train_epochs,
-            phase=f"adaptive_train:{rnd}",
-        )
-        flow = train.result
+        final_loss = jnp.asarray(jnp.nan)
+        if cfg.fit_method in ("forward_kl", "hybrid"):
+            train = policy.guard(
+                optimize_flow,
+                k_train,
+                flat,
+                flow,
+                opt,
+                nbatches=cfg.train_batches,
+                nepochs=cfg.train_epochs,
+                phase=f"adaptive_train:{rnd}",
+            )
+            flow = train.result
+            final_loss = train.loss_hist[-1]
+        if cfg.fit_method in ("reverse_kl", "hybrid"):
+            from tpuflows.vi import fit_vi
+
+            k_train, k_vi = jax.random.split(k_train)
+            vres = policy.guard(
+                fit_vi, k_vi, log_density, flow, dim,
+                optimizer=optax.adam(cfg.learning_rate),
+                batch_size=cfg.vi_batch, nsteps=cfg.vi_steps,
+                stl=True,
+                phase=f"adaptive_vi:{rnd}",
+            )
+            flow = vres.flow
+            final_loss = -vres.final_elbo  # negated: loss convention
+        if cfg.fit_method not in ("forward_kl", "reverse_kl", "hybrid"):
+            raise ValueError(f"unknown fit_method: {cfg.fit_method!r}")
 
         record = AdaptiveRound(
             min_ess=min_ess,
@@ -280,7 +309,7 @@ def adaptive_fit(
             flow_is_ess=_flow_is_ess(k_is, flow, log_density, dim),
             accept_rate=jnp.mean(res.info.accept_prob),
             divergence_rate=jnp.mean(res.info.diverging.astype(jnp.float32)),
-            final_loss=train.loss_hist[-1],
+            final_loss=final_loss,
         )
         rounds.append(record)
         n_rounds = rnd + 1

@@ -49,6 +49,19 @@ class SplineKnots(NamedTuple):
     dk: jax.Array
 
 
+def _cumsum_small(x: jax.Array) -> jax.Array:
+    """Sequential prefix sum over the SMALL static knot axis, unrolled.
+    Same left-to-right association as a sequential cumsum, but with a
+    Pallas TPU lowering (jnp.cumsum has none — this math also runs inside
+    the fused transition kernel, kernels/nuts_pallas.py)."""
+    acc = x[..., :1]
+    parts = [acc]
+    for i in range(1, x.shape[-1]):
+        acc = acc + x[..., i:i + 1]
+        parts.append(acc)
+    return jnp.concatenate(parts, axis=-1)
+
+
 def normalize_params(
     raw: jax.Array,
     range_limit: float = DEFAULT_RANGE,
@@ -69,15 +82,19 @@ def normalize_params(
     heights = min_bin + (1.0 - min_bin * K) * heights
 
     zero = jnp.zeros_like(w_raw[..., :1])
-    xk = -B + 2.0 * B * jnp.cumsum(
-        jnp.concatenate([zero, widths], axis=-1), axis=-1
+    xk = -B + 2.0 * B * _cumsum_small(
+        jnp.concatenate([zero, widths], axis=-1)
     )
-    yk = -B + 2.0 * B * jnp.cumsum(
-        jnp.concatenate([zero, heights], axis=-1), axis=-1
+    yk = -B + 2.0 * B * _cumsum_small(
+        jnp.concatenate([zero, heights], axis=-1)
     )
-    # pin the endpoints exactly to +/-B (cumsum roundoff)
-    xk = xk.at[..., -1].set(B)
-    yk = yk.at[..., -1].set(B)
+    # pin the endpoints exactly to +/-B (cumsum roundoff). Concatenation
+    # instead of .at[...].set: identical values, and static-index scatter
+    # has no Pallas TPU lowering (kernels/nuts_pallas.py runs this math
+    # in-kernel).
+    endp = jnp.full_like(xk[..., :1], B)
+    xk = jnp.concatenate([xk[..., :-1], endp], axis=-1)
+    yk = jnp.concatenate([yk[..., :-1], endp], axis=-1)
 
     d_int = min_derivative + jax.nn.softplus(d_raw + _SOFTPLUS_UNIT)
     one = jnp.ones_like(d_raw[..., :1])
@@ -110,7 +127,9 @@ def _gather(onehot: jax.Array, v: jax.Array) -> jax.Array:
 def rqs_forward(x: jax.Array, knots: SplineKnots):
     """Forward spline. Returns (y, elementwise log|dy/dx|)."""
     xk, yk, dk = knots
-    B = xk[..., -1]
+    # static slice + squeeze, not int indexing: jnp's arr[..., -1] lowers
+    # to dynamic_slice, which has no Pallas TPU lowering
+    B = jnp.squeeze(xk[..., -1:], -1)
     inside = jnp.abs(x) <= B
     xc = jnp.clip(x, -B, B)
 
@@ -140,7 +159,7 @@ def rqs_forward(x: jax.Array, knots: SplineKnots):
 def rqs_inverse(y: jax.Array, knots: SplineKnots):
     """Analytic inverse spline. Returns (x, elementwise log|dx/dy|)."""
     xk, yk, dk = knots
-    B = yk[..., -1]
+    B = jnp.squeeze(yk[..., -1:], -1)  # static slice (see rqs_forward)
     inside = jnp.abs(y) <= B
     yc = jnp.clip(y, -B, B)
 

@@ -50,6 +50,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpuflows.mcmc.nuts import NUTSInfo, _popcount32, _trailing_zeros32
 
+# 256 chains/tile is near the VMEM ceiling at the bench shape (d=64,
+# max_depth=6, hidden 128x128): the carried tree state + vjp residuals
+# measure ~16.5 MB at tile 512 — over the 16 MB scoped-vmem limit.
 DEFAULT_TILE_B = 256
 NEG_INF = float("-inf")
 
@@ -441,11 +444,29 @@ def fused_nuts_for_flow(log_density, flow, max_depth: int = 8,
                         interpret: bool | None = None):
     """Fused transition for flow-preconditioned NUTS (the north-star path):
     logp~(z) = log_density(f^-1(z)) + ladj. Drop into
-    NUTSDriver(transition=...)."""
+    NUTSDriver(transition=...).
 
-    def tile_logp(z, fl):
-        x, ladj = fl.inverse_and_ladj(z)
-        return log_density(x) + ladj
+    Flows containing RQS coupling blocks are relaid out once
+    (kernels/tile_flow.permute_for_tiles) so the spline math runs on
+    2-D p-major tiles inside the kernel — the generic (T, d, 3K-1)
+    reshape is not Mosaic-lowerable."""
+    from tpuflows.flows.coupling import RQSCouplingBlock
+    from tpuflows.kernels.tile_flow import (
+        permute_for_tiles,
+        tile_inverse_and_ladj,
+    )
+
+    has_rqs = any(isinstance(t, RQSCouplingBlock) for t in flow.transforms)
+    if has_rqs:
+        flow = permute_for_tiles(flow)
+
+        def tile_logp(z, fl):
+            x, ladj = tile_inverse_and_ladj(fl, z)
+            return log_density(x) + ladj
+    else:
+        def tile_logp(z, fl):
+            x, ladj = fl.inverse_and_ladj(z)
+            return log_density(x) + ladj
 
     return make_fused_nuts_transition(tile_logp, flow, max_depth=max_depth,
                                       tile_b=tile_b, interpret=interpret)

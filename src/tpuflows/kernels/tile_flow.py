@@ -1,0 +1,95 @@
+"""2-D tile-friendly flow application for IN-KERNEL use.
+
+The engine's generic flow methods reshape conditioner outputs to
+(batch, d, 3K-1) for the spline math — a 2-D -> 3-D shape cast Mosaic
+cannot lower ("infer-vector-layout: unsupported shape cast"), which blocks
+running RQS flows inside the fused transition kernel
+(kernels/nuts_pallas.py). This module reimplements the SAME math with the
+coupling_pallas layout rules: the RQS conditioner's last layer is permuted
+to p-major column order OUTSIDE the kernel (`permute_for_tiles`, a
+weight-sized differentiable relayout), so each spline-parameter slice
+`raw[:, p*d:(p+1)*d]` is a contiguous 2-D lane tile and the spline runs on
+lists of (T, d) tiles (`rqs_pallas._inv_tile_math`). Affine couplings and
+standardization are already 2-D-only and use their ordinary methods.
+
+Semantics: `tile_inverse_and_ladj(flow_p, z)` equals
+`flow.inverse_and_ladj(z)` up to f32 reassociation (tested in
+tests/test_nuts_pallas.py); `flow_p = permute_for_tiles(flow)` keeps the
+pytree STRUCTURE identical (values relaid out), so the permuted flow rides
+through the fused-transition operand plumbing unchanged.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from tpuflows.flows.affine import AffineCoupling, Standardize, Whiten
+from tpuflows.flows.core import Chain
+from tpuflows.flows.coupling import RQSCouplingBlock
+from tpuflows.flows.rqs_ref import DEFAULT_MIN_BIN, DEFAULT_MIN_DERIV
+from tpuflows.kernels.rqs_pallas import _inv_tile_math
+from tpuflows.util.shapes import mask_array
+
+_ACTIVATIONS_OK = ("silu", "tanh", "relu", "gelu")
+
+
+def permute_for_tiles(flow: Chain) -> Chain:
+    """Return a structurally-identical flow whose RQS conditioner last
+    layers are in p-major column order (see coupling_pallas
+    _flatten_params). Differentiable value relayout; apply ONCE outside
+    the kernel."""
+    new_ts = []
+    for t in flow.transforms:
+        if isinstance(t, RQSCouplingBlock):
+            d = len(t.mask)
+            P = 3 * t.knots - 1
+            ws = list(t.net.weights)
+            bs = list(t.net.biases)
+            h_in = ws[-1].shape[0]
+            ws[-1] = jnp.moveaxis(
+                ws[-1].reshape(h_in, d, P), -1, -2).reshape(h_in, P * d)
+            bs[-1] = jnp.moveaxis(
+                bs[-1].reshape(d, P), -1, -2).reshape(P * d)
+            net = dataclasses.replace(
+                t.net, weights=tuple(ws), biases=tuple(bs))
+            new_ts.append(dataclasses.replace(t, net=net))
+        else:
+            new_ts.append(t)
+    return Chain(transforms=tuple(new_ts))
+
+
+def _rqs_block_inverse_2d(blk: RQSCouplingBlock, z2d):
+    """Inverse of one RQS coupling block on a (T, d) tile with the
+    PERMUTED (p-major) conditioner — no (T, d, P) tensor is formed."""
+    d = len(blk.mask)
+    P = 3 * blk.knots - 1
+    b = mask_array(blk.mask, z2d.dtype)
+    raw_t = blk.net(z2d * b)  # (T, P*d), p-major columns
+    raw = [raw_t[:, p * d:(p + 1) * d] for p in range(P)]
+    x_t, ladj_el = _inv_tile_math(z2d, raw, blk.knots,
+                                  float(blk.range_limit),
+                                  DEFAULT_MIN_BIN, DEFAULT_MIN_DERIV)
+    x = b * z2d + (1.0 - b) * x_t
+    ladj = jnp.sum((1.0 - b) * ladj_el, axis=-1)
+    return x, ladj
+
+
+def tile_inverse_and_ladj(flow_p: Chain, z2d):
+    """`flow.inverse_and_ladj` for a PERMUTED flow on a (T, d) tile using
+    only 2-D intermediates (Mosaic-lowerable). Supports the engine's
+    production module kinds: Standardize/Whiten, AffineCoupling,
+    RQSCouplingBlock."""
+    x = z2d
+    total = jnp.zeros(z2d.shape[:-1], z2d.dtype)
+    for t in reversed(flow_p.transforms):
+        if isinstance(t, RQSCouplingBlock):
+            x, ladj = _rqs_block_inverse_2d(t, x)
+        elif isinstance(t, (AffineCoupling, Standardize, Whiten)):
+            x, ladj = t.inverse_and_ladj(x)
+        else:
+            raise NotImplementedError(
+                f"tile_inverse_and_ladj: unsupported module "
+                f"{type(t).__name__}")
+        total = total + ladj
+    return x, total
