@@ -146,11 +146,12 @@ def main():
     # (kernels/nuts_pallas.py): tree bookkeeping VMEM-resident per chain
     # tile instead of vmap-while carry traffic (docs/perf.md round-4
     # accounting: machinery is 3.4x the gradient cost on the XLA path).
-    # fused transition is validated for the ceiling (affine-flow) variant;
-    # the generic arqs variant keeps the XLA NUTS path (spline tile math
-    # inside the transition kernel is future work)
+    # "auto" engages the fused transition for the ceiling (affine-flow)
+    # variant; TPUFLOWS_BENCH_PALLAS=1 additionally forces it for the
+    # generic arqs variant (spline math on 2-D p-major tiles via
+    # kernels/tile_flow, chain tile 32 — see nuts_pallas VMEM notes)
     transition = None
-    if use_pallas and variant == "ceiling":
+    if use_pallas and (variant == "ceiling" or pallas_env == "1"):
         from tpuflows.kernels.nuts_pallas import fused_nuts_for_flow
 
         transition = fused_nuts_for_flow(target.log_density, flow,

@@ -459,6 +459,13 @@ def fused_nuts_for_flow(log_density, flow, max_depth: int = 8,
     has_rqs = any(isinstance(t, RQSCouplingBlock) for t in flow.transforms)
     if has_rqs:
         flow = permute_for_tiles(flow)
+        # spline flows carry much larger vjp residuals (the (T, P*d) raw
+        # tensors per block): the 6-block arqs bench flow measures 28.6 MB
+        # of scoped VMEM at tile 128 and 16.5 MB at tile 64 vs the 16 MB
+        # limit — tile 32 fits and is the validated default here
+        # (jax.checkpoint cannot shrink it: remat2 has no Pallas lowering)
+        if tile_b > 32:
+            tile_b = 32
 
         def tile_logp(z, fl):
             x, ladj = tile_inverse_and_ladj(fl, z)

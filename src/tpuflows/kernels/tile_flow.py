@@ -79,7 +79,12 @@ def tile_inverse_and_ladj(flow_p: Chain, z2d):
     """`flow.inverse_and_ladj` for a PERMUTED flow on a (T, d) tile using
     only 2-D intermediates (Mosaic-lowerable). Supports the engine's
     production module kinds: Standardize/Whiten, AffineCoupling,
-    RQSCouplingBlock."""
+    RQSCouplingBlock.
+
+    VMEM note: the whole-chain trace-time vjp keeps every block's
+    residuals live; jax.checkpoint cannot trim this in-kernel (remat2 has
+    no Pallas lowering), so multi-block spline flows need small chain
+    tiles instead (fused_nuts_for_flow caps tile_b at 32 for them)."""
     x = z2d
     total = jnp.zeros(z2d.shape[:-1], z2d.dtype)
     for t in reversed(flow_p.transforms):
