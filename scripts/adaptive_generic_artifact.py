@@ -86,7 +86,11 @@ def search():
         fit_method="reverse_kl", vi_steps=4000, vi_batch=1024,
         learning_rate=3e-3,
         grow_on_stall=True, grow_is_ess_target=0.5, grow_min_gain=1.1,
-        max_grown_blocks=4, max_rounds=8, ess_threshold=1500.0,
+        # the stopping bar is ~40% per-draw min-dim ESS (the regime the
+        # hand-tuned recipe reaches): a first run that stopped at 8%
+        # (threshold 1500) failed the bench-scale convergence gate —
+        # rhat 1.09 over 2048 draws at 1024 chains
+        max_grown_blocks=4, max_rounds=10, ess_threshold=8000.0,
     )
     t0 = time.perf_counter()
     res = adaptive_fit(jax.random.key(0), target.log_density, DIM, cfg,

@@ -107,8 +107,8 @@ def test_smc_retrain_path_switch_unbiased(mode):
     init = jax.random.normal(jax.random.key(0), (512, dim))
     flow = build_flow(init, jax.random.key(1), kind="affine", n_blocks=2,
                       hidden=(16,))
-    base = dict(n_particles=4096, n_mutation_steps=3, n_leapfrog=5,
-                max_stages=40, retrain_epochs=30, retrain_mode=mode)
+    base = dict(n_particles=2048, n_mutation_steps=3, n_leapfrog=5,
+                max_stages=40, retrain_epochs=25, retrain_mode=mode)
     res_rt = run_smc(jax.random.key(2), logp, flow, dim,
                      SMCConfig(**base, retrain_every=1))
     res_fix = run_smc(jax.random.key(2), logp, flow, dim,
