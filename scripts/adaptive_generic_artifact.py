@@ -85,7 +85,8 @@ def search():
         n_chains=128, num_warmup=150, num_samples=150, max_depth=5,
         fit_method="reverse_kl", vi_steps=4000, vi_batch=1024,
         learning_rate=3e-3,
-        grow_on_stall=True, grow_is_ess_target=0.5, grow_min_gain=1.1,
+        grow_on_stall=True, grow_on_ess_stall=True,
+        grow_is_ess_target=0.5, grow_min_gain=1.1,
         # the stopping bar is ~40% per-draw min-dim ESS (the regime the
         # hand-tuned recipe reaches): a first run that stopped at 8%
         # (threshold 1500) failed the bench-scale convergence gate —

@@ -79,6 +79,10 @@ class AdaptiveConfig(NamedTuple):
     grow_on_stall: bool = False
     grow_is_ess_target: float = 0.5  # rel IS-ESS above which growth stops
     grow_min_gain: float = 1.1  # stall = is_ess < prev * this
+    # also grow when the SAMPLING min-ESS (the loop's stopping target)
+    # stalls below ess_threshold — the IS-ESS criterion alone can saturate
+    # while the sampler still needs capacity (see maybe_grow_flow)
+    grow_on_ess_stall: bool = False
     max_grown_blocks: int = 4
 
 
@@ -101,45 +105,81 @@ class AdaptiveResult(NamedTuple):
     converged: bool
 
 
-def _growth_mask(dim: int, i: int):
-    """The engine's generic mask menu for grown blocks: cycle both
-    checkerboards and both half-block masks — the same menu build_flow's
-    "mixed" scheme draws from. Block masks let a conditioner see leading
-    dims whole, which hierarchical/funnel-style targets (a global scale in
-    a leading dim) need; cycling them is target-agnostic."""
+def _growth_mask_menu(dim: int):
+    """The engine's generic mask menu for grown blocks: both checkerboards
+    and both half-block masks — the same menu build_flow's "mixed" scheme
+    draws from. Block masks let a conditioner see leading dims whole,
+    which hierarchical/funnel-style targets (a global scale in a leading
+    dim) need; cycling them is target-agnostic."""
     from tpuflows.util.shapes import alternating_mask, block_mask
 
-    kind = i % 4
-    if kind < 2:
-        return alternating_mask(dim, kind)
-    return block_mask(dim, kind - 2)
+    return [alternating_mask(dim, 0), alternating_mask(dim, 1),
+            block_mask(dim, 0), block_mask(dim, 1)]
+
+
+def _next_growth_mask(dim: int, flow):
+    """Least-used mask from the menu, counted against the masks ALREADY in
+    the flow — stateless (checkpoint/resume-safe: a carried counter once
+    duplicated a checkerboard after resume) and deduplicating (new
+    capacity goes to the mask family the flow lacks first)."""
+    existing = [tuple(t.mask) for t in flow.transforms
+                if getattr(t, "mask", None) is not None]
+    menu = _growth_mask_menu(dim)
+    counts = [existing.count(tuple(m)) for m in menu]
+    return menu[counts.index(min(counts))]
+
+
+def _n_grown_units(flow, cfg) -> int:
+    """Growth count derived from the flow itself (resume-safe; a carried
+    counter reset on checkpoint resume and duplicated a mask). Growth
+    always appends RQS blocks (alone, or paired with an affine for
+    arqs), so grown units = RQS blocks beyond the initial build."""
+    if flow is None:
+        return 0
+    from tpuflows.flows.coupling import RQSCouplingBlock
+
+    units = sum(isinstance(t, RQSCouplingBlock) for t in flow.transforms)
+    initial = cfg.n_blocks if cfg.flow_kind in ("rqs", "arqs") else 0
+    return max(0, units - initial)
 
 
 def maybe_grow_flow(flow, rounds, n_grown, cfg, dim, key):
     """Growth decision + append (reference append-module helpers,
-    SURVEY.md §2a row 2): when the flow-as-proposal IS-ESS has stalled
-    between the last two rounds and is still below
-    `cfg.grow_is_ess_target`, append a fresh coupling unit with the next
-    mask from the generic menu (`_growth_mask`: checkerboards + half
-    blocks), up to `cfg.max_grown_blocks` appends. With
-    `flow_kind="arqs"` the appended unit is an affine+RQS pair sharing the
-    mask (the same pairing build_flow uses: the affine carries unbounded
-    scale, the spline the shape). Returns (flow, n_grown, grew)."""
+    SURVEY.md §2a row 2): append a fresh coupling unit with the
+    least-used mask from the generic menu (`_next_growth_mask`), up to
+    `cfg.max_grown_blocks` appends, when either stall criterion fires:
+
+      * flow-as-proposal IS-ESS stalled between the last two rounds and
+        still below `cfg.grow_is_ess_target` (always on with
+        `grow_on_stall`), or
+      * `grow_on_ess_stall`: the loop's OWN convergence target stalled —
+        sampling min-ESS below `ess_threshold` and not improving. The
+        IS-ESS criterion alone can saturate (a decent proposal) while the
+        sampler still needs capacity.
+
+    With `flow_kind="arqs"` the appended unit is an affine+RQS pair
+    sharing the mask (the same pairing build_flow uses). `n_grown` is
+    ignored (derived from the flow; kept for call compatibility).
+    Returns (flow, n_grown, grew)."""
+    n_grown = _n_grown_units(flow, cfg)
     if not (cfg.grow_on_stall and flow is not None and len(rounds) >= 2
             and n_grown < cfg.max_grown_blocks):
         return flow, n_grown, False
     is_now = float(rounds[-1].flow_is_ess)
     is_prev = float(rounds[-2].flow_is_ess)
-    if not (is_now < cfg.grow_is_ess_target
-            and is_now < is_prev * cfg.grow_min_gain):
+    is_stall = (is_now < cfg.grow_is_ess_target
+                and is_now < is_prev * cfg.grow_min_gain)
+    ess_now = float(rounds[-1].min_ess)
+    ess_prev = float(rounds[-2].min_ess)
+    ess_stall = (cfg.grow_on_ess_stall
+                 and ess_now < cfg.ess_threshold
+                 and ess_now < ess_prev * cfg.grow_min_gain)
+    if not (is_stall or ess_stall):
         return flow, n_grown, False
     from tpuflows.flows.affine import AffineCoupling
     from tpuflows.flows.coupling import RQSCouplingBlock
 
-    # continue the mask cycle where the initial build left off: count the
-    # coupling units already present (an affine+RQS pair is one unit)
-    n_units = cfg.n_blocks + n_grown
-    mask = _growth_mask(dim, n_units)
+    mask = _next_growth_mask(dim, flow)
     k_aff, k_rqs = jax.random.split(key)
     if cfg.flow_kind == "arqs":
         flow = flow.append(AffineCoupling.init(

@@ -103,6 +103,10 @@ def test_adaptive_growth_appends_blocks():
         grow_is_ess_target=0.5,
         grow_min_gain=1.1,
         max_grown_blocks=2,
+        flow_kind="affine",  # matches the built flow: growth counting is
+        # derived from the flow structure (resume-safe), so cfg kind and
+        # flow must agree as they do inside adaptive_fit
+        n_blocks=1,
         knots=4,
         hidden=(8,),
     )
