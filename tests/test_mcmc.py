@@ -155,8 +155,13 @@ def test_flow_preconditioned_funnel():
     the config-4 pattern (BASELINE.json:10) at test scale."""
     t = NealsFunnel(dim=4, sigma_v=2.0)
     train = t.sample(jax.random.key(9), 4096)
-    flow = build_flow(train, jax.random.key(10), kind="rqs", n_blocks=4,
-                      knots=6, hidden=(32, 32))
+    # arqs (affine+RQS): a spline-only flow's bounded range cannot carry
+    # the funnel's unbounded scale, leaving this gate fp-marginal — any
+    # float perturbation (XLA opt level, reduction association) flipped
+    # it between rounds; the affine partner makes the margin real (the
+    # same lesson as the c4 config fix)
+    flow = build_flow(train, jax.random.key(10), kind="arqs", n_blocks=2,
+                      knots=6, hidden=(32, 32), clamp=6.0)
     fit = optimize_flow(jax.random.key(11), train, flow, optax.adam(2e-3),
                         nbatches=16, nepochs=40)
     logp_lat = flow_reparameterized(t.log_density, fit.result)
@@ -167,7 +172,17 @@ def test_flow_preconditioned_funnel():
     x = to_data_space(fit.result, res.samples.reshape(-1, 4)).reshape(
         res.samples.shape
     )
-    check = moment_gate(x, t.mean(), jnp.diagonal(t.cov()), n_sigma=3.5)
+    # Gate on the EXACT light-tailed reparameterization (the
+    # test_gate_c4_funnel_flow_nuts trick): under the funnel,
+    # [v/sigma_v, x_i * exp(-v/2)] is iid standard normal. Raw second
+    # moments (Var(x_i) = e^{sigma_v^2/2}, kurtosis e^{2 sigma_v^2})
+    # are unestimable at this draw count — the old raw gate sat at
+    # ~5 sigma of its own (empirical-m4) error bar and flipped on any
+    # float perturbation.
+    v = x[..., :1]
+    std = jnp.concatenate(
+        [v / t.sigma_v, x[..., 1:] * jnp.exp(-v / 2.0)], axis=-1)
+    check = moment_gate(std, jnp.zeros(4), jnp.ones(4), n_sigma=3.5)
     assert check.passed, check
 
 

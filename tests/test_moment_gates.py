@@ -129,8 +129,10 @@ def test_gate_c4_funnel_flow_nuts():
     """Config 4 (CI scale): flow-preconditioned NUTS on an 8-d funnel."""
     t = NealsFunnel(dim=8)
     init = t.sample(jax.random.key(0), 4096)
-    flow = build_flow(init, jax.random.key(1), kind="rqs", n_blocks=4,
-                      knots=8, hidden=(48, 48))
+    # arqs: affine partner carries the funnel's unbounded scale (see
+    # test_mcmc.test_flow_preconditioned_funnel note / c4 config)
+    flow = build_flow(init, jax.random.key(1), kind="arqs", n_blocks=2,
+                      knots=8, hidden=(48, 48), clamp=6.0)
     import optax
 
     from tpuflows.flows import optimize_flow
