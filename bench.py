@@ -146,12 +146,14 @@ def main():
     # (kernels/nuts_pallas.py): tree bookkeeping VMEM-resident per chain
     # tile instead of vmap-while carry traffic (docs/perf.md round-4
     # accounting: machinery is 3.4x the gradient cost on the XLA path).
-    # "auto" engages the fused transition for the ceiling (affine-flow)
-    # variant; TPUFLOWS_BENCH_PALLAS=1 additionally forces it for the
-    # generic arqs variant (spline math on 2-D p-major tiles via
-    # kernels/tile_flow, chain tile 32 — see nuts_pallas VMEM notes)
+    # "auto" engages the fused transition for BOTH variants since round 5:
+    # the streamed per-block spline backward (tile_flow.
+    # tile_logp_and_grad_streamed) lifted the arqs chain tile 32 -> 128
+    # and the same-session A/B reads 142,437 vs 112,580 eff/s/chip
+    # (1.27x metric; docs/artifacts/bench_generic_fused_ab.json).
+    # PALLAS=0 forces the XLA path (the A/B baseline).
     transition = None
-    if use_pallas and (variant == "ceiling" or pallas_env == "1"):
+    if use_pallas:
         from tpuflows.kernels.nuts_pallas import fused_nuts_for_flow
 
         transition = fused_nuts_for_flow(target.log_density, flow,

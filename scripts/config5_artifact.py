@@ -100,7 +100,11 @@ def main():
     log_z = float(res.log_z)
     log_z_truth = t.log_evidence()
     log_z_sigma = max(float(res.log_z_sigma), 1e-6)
-    log_z_gate = abs(log_z - log_z_truth) < 3.0 * log_z_sigma
+    # 4 sigma + 0.05 absolute slack, matching tests/test_smc.py (ADVICE
+    # r4: the delta-method sigma is itself only calibrated to ~3x, so a
+    # bare 3-sigma gate with no absolute term can false-fail a correct run
+    # when sigma is tiny)
+    log_z_gate = abs(log_z - log_z_truth) < 4.0 * log_z_sigma + 0.05
 
     row = {
         "artifact": "config5_hierarchical_smc_fullspec",

@@ -162,12 +162,16 @@ def maybe_grow_flow(flow, rounds, n_grown, cfg, dim, key):
     ignored (derived from the flow; kept for call compatibility).
     Returns (flow, n_grown, grew)."""
     n_grown = _n_grown_units(flow, cfg)
-    if not (cfg.grow_on_stall and flow is not None and len(rounds) >= 2
+    # either trigger flag enables the growth machinery (ADVICE r4: the
+    # ESS-stall trigger used to be silently inert without grow_on_stall)
+    if not ((cfg.grow_on_stall or cfg.grow_on_ess_stall)
+            and flow is not None and len(rounds) >= 2
             and n_grown < cfg.max_grown_blocks):
         return flow, n_grown, False
     is_now = float(rounds[-1].flow_is_ess)
     is_prev = float(rounds[-2].flow_is_ess)
-    is_stall = (is_now < cfg.grow_is_ess_target
+    is_stall = (cfg.grow_on_stall
+                and is_now < cfg.grow_is_ess_target
                 and is_now < is_prev * cfg.grow_min_gain)
     ess_now = float(rounds[-1].min_ess)
     ess_prev = float(rounds[-2].min_ess)

@@ -307,8 +307,15 @@ def make_fused_nuts_transition(
     max_delta_energy: float = 1000.0,
     tile_b: int = DEFAULT_TILE_B,
     interpret: bool | None = None,
+    logp_grad_tile_fn: Callable | None = None,
+    vmem_limit_mb: int | None = None,
 ):
     """Build a BATCHED NUTS transition backed by the fused Pallas kernel.
+
+    `logp_grad_tile_fn(x, params) -> (lp (T, 1), g (T, d))`, when given,
+    replaces the default whole-function trace-time `jax.vjp` — the hook
+    for memory-shaped backwards (tile_flow.tile_logp_and_grad_streamed's
+    per-block remat, which lifts the spline-flow VMEM tile cap).
 
     `logp_tile_fn(x, params) -> logp` is batch-polymorphic jnp ((..., d) ->
     (...,)); `example_params` fixes the parameter pytree structure (values
@@ -330,13 +337,17 @@ def make_fused_nuts_transition(
         orig = [v.reshape(s) for v, s in zip(leaf2d, leaf_shapes)]
         p = jax.tree_util.tree_unflatten(treedef, orig)
 
-        def logp_grad(xt):
-            def tm(x):
-                return logp_tile_fn(x, p)[:, None]
+        if logp_grad_tile_fn is not None:
+            def logp_grad(xt):
+                return logp_grad_tile_fn(xt, p)
+        else:
+            def logp_grad(xt):
+                def tm(x):
+                    return logp_tile_fn(x, p)[:, None]
 
-            lp, pull = jax.vjp(tm, xt)
-            (gx,) = pull(jnp.ones_like(lp))
-            return lp, gx
+                lp, pull = jax.vjp(tm, xt)
+                (gx,) = pull(jnp.ones_like(lp))
+                return lp, gx
 
         return _transition_math(q, p0, dirs, u_acc, u_take,
                                 eps2d[0, 0], inv_mass2d,
@@ -384,6 +395,15 @@ def make_fused_nuts_transition(
             jax.ShapeDtypeStruct((np_, 1), jnp.float32),   # turning
             jax.ShapeDtypeStruct((np_, 1), jnp.float32),   # h0
         ]
+        # vmem_limit_mb raises the compiler's 16 MB scoped-vmem default
+        # (v5e has 128 MB physical VMEM; the fused spline transition at
+        # tile 128 measures 16.5 MB — the kernel is compute-dense per byte
+        # of tile I/O, so the pipelining headroom the default protects is
+        # irrelevant here)
+        params = {}
+        if vmem_limit_mb is not None and not run_interpret:
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)
         outs = pl.pallas_call(
             kernel,
             grid=(np_ // tile_b,),
@@ -395,6 +415,7 @@ def make_fused_nuts_transition(
             out_specs=[_row_spec(s.shape[1], tile_b) for s in out_shape],
             out_shape=out_shape,
             interpret=run_interpret,
+            **params,
         )(q, p0, dirs, u_acc, u_take, eps2d, im2d, *leaves2d, *consts2d)
         return [o[:n] for o in outs]
 
@@ -454,26 +475,37 @@ def fused_nuts_for_flow(log_density, flow, max_depth: int = 8,
     from tpuflows.kernels.tile_flow import (
         permute_for_tiles,
         tile_inverse_and_ladj,
+        tile_logp_and_grad_streamed,
     )
 
     has_rqs = any(isinstance(t, RQSCouplingBlock) for t in flow.transforms)
     if has_rqs:
         flow = permute_for_tiles(flow)
-        # spline flows carry much larger vjp residuals (the (T, P*d) raw
-        # tensors per block): the 6-block arqs bench flow measures 28.6 MB
-        # of scoped VMEM at tile 128 and 16.5 MB at tile 64 vs the 16 MB
-        # limit — tile 32 fits and is the validated default here
-        # (jax.checkpoint cannot shrink it: remat2 has no Pallas lowering)
-        if tile_b > 32:
-            tile_b = 32
 
         def tile_logp(z, fl):
             x, ladj = tile_inverse_and_ladj(fl, z)
             return log_density(x) + ladj
-    else:
-        def tile_logp(z, fl):
-            x, ladj = fl.inverse_and_ladj(z)
-            return log_density(x) + ladj
+
+        # spline flows: the whole-chain trace-time vjp kept every block's
+        # (T, P*d) residuals live (28.6 MB scoped VMEM at tile 128 for the
+        # 6-block arqs bench flow — capped the tile at 32 through round 4);
+        # the streamed per-block backward remats each block inside its own
+        # vjp so peak residency is max-of-blocks (16.5 MB at tile 128,
+        # under the raised scoped-vmem limit below), and the default tile
+        # rises to 128 (round-5 tile sweep: scripts/fused_spline_probe.py)
+        def tile_logp_grad(z, fl):
+            return tile_logp_and_grad_streamed(fl, z, log_density)
+
+        if tile_b == DEFAULT_TILE_B:
+            tile_b = 128
+        return make_fused_nuts_transition(
+            tile_logp, flow, max_depth=max_depth, tile_b=tile_b,
+            interpret=interpret, logp_grad_tile_fn=tile_logp_grad,
+            vmem_limit_mb=96)
+
+    def tile_logp(z, fl):
+        x, ladj = fl.inverse_and_ladj(z)
+        return log_density(x) + ladj
 
     return make_fused_nuts_transition(tile_logp, flow, max_depth=max_depth,
                                       tile_b=tile_b, interpret=interpret)

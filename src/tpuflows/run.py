@@ -117,8 +117,17 @@ def _run_task(cfg) -> dict:
         # NUTSSpec.fused_kernel): preconditioned + affine flow + TPU
         transition = None
         fk = cfg.nuts.fused_kernel
+        if fk == "on" and flow is None:
+            # ADVICE r4: fused_nuts_for_flow dereferences flow.transforms —
+            # fail with the actual contract instead of an AttributeError
+            raise ValueError(
+                "nuts.fused_kernel='on' requires nuts.preconditioned=true "
+                "(the fused transition runs in a flow's latent space)")
+        # round 5: "auto" covers arqs too (streamed per-block spline
+        # backward lifted the chain tile to 128; measured 1.27x metric
+        # over the XLA path — docs/artifacts/bench_generic_fused_ab.json)
         if fk == "on" or (fk == "auto" and flow is not None
-                          and cfg.flow.kind == "affine"
+                          and cfg.flow.kind in ("affine", "arqs", "rqs")
                           and jax.default_backend() == "tpu"):
             from tpuflows.kernels.nuts_pallas import fused_nuts_for_flow
 

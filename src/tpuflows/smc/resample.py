@@ -23,14 +23,20 @@ def normalize_log_weights(log_w: jax.Array, axis=-1) -> jax.Array:
     return log_w - jax.scipy.special.logsumexp(log_w, axis=axis, keepdims=True)
 
 
-def systematic_indices(key: jax.Array, log_w: jax.Array) -> jax.Array:
-    """Systematic resampling ancestor indices. log_w: (n,) -> (n,) int32."""
+def systematic_indices(key: jax.Array, log_w: jax.Array,
+                       n_out: int | None = None) -> jax.Array:
+    """Systematic resampling ancestor indices. log_w: (n,) -> (n_out,)
+    int32 (n_out defaults to n; n_out != n draws a population of a
+    different size from the same weighted measure — used by the
+    cross-fitted bridge path switch, which resamples n particles from
+    the held-out half)."""
     n = log_w.shape[0]
+    m = n if n_out is None else n_out
     w = jnp.exp(normalize_log_weights(log_w))
     cdf = jnp.cumsum(w)
     cdf = cdf / cdf[-1]  # exact 1.0 endpoint despite roundoff
     u0 = jax.random.uniform(key, ())
-    positions = (u0 + jnp.arange(n, dtype=jnp.float32)) / n
+    positions = (u0 + jnp.arange(m, dtype=jnp.float32)) / m
     idx = jnp.searchsorted(cdf, positions, side="left")
     return jnp.clip(idx, 0, n - 1).astype(jnp.int32)
 

@@ -90,3 +90,31 @@ def test_evidence_recovers_scale_constant():
         vi_sample(jax.random.key(13), flow, 2, 4096),
     )
     np.testing.assert_allclose(float(bridge.log_z), log_c, atol=0.05)
+
+
+def test_evidence_is_and_bridge_d16():
+    """IS + bridge at d=16 (VERDICT r4 next #4 fast-tier leg; the
+    production-dim runs live in scripts/evidence_production_dims.py):
+    anisotropic Gaussian scaled by a constant, affine flow fitted by
+    forward KL on exact draws — both estimators recover log c."""
+    dim, log_c = 16, -2.4
+    scale = jnp.exp(0.4 * jnp.sin(jnp.arange(dim, dtype=jnp.float32)))
+    target = DiagNormal(loc=0.3 * jnp.ones(dim), scale=scale)
+
+    def scaled(x):
+        return target.log_density(x) + log_c
+
+    draws = target.sample(jax.random.key(20), 4096)
+    flow0 = build_flow(draws, jax.random.key(21), kind="affine",
+                       n_blocks=2, hidden=(32,))
+    from tpuflows.flows import optimize_flow
+
+    flow = optimize_flow(jax.random.key(22), draws, flow0,
+                         optax.adam(5e-3), nbatches=8, nepochs=30).result
+    res = log_evidence_is(jax.random.key(23), scaled, flow, dim, n=16384)
+    assert float(res.ess) > 0.2 * res.n  # the fit is real at d=16
+    np.testing.assert_allclose(float(res.log_z), log_c, atol=0.05)
+    bridge = log_evidence_bridge(
+        jax.random.key(24), scaled, flow,
+        target.sample(jax.random.key(25), 4096), n_proposal=8192)
+    np.testing.assert_allclose(float(bridge.log_z), log_c, atol=0.05)

@@ -129,6 +129,40 @@ def test_tile_flow_matches_reference_inverse():
     assert bool(jnp.all(info.num_steps >= 1))
 
 
+def test_streamed_logp_grad_matches_whole_chain_vjp():
+    """tile_flow.tile_logp_and_grad_streamed (per-block remat backward —
+    the round-5 VMEM fix that lifts the fused-transition spline tile cap)
+    equals the whole-chain trace-time jax.vjp on an arqs chain."""
+    from tpuflows.flows import build_flow
+    from tpuflows.kernels.tile_flow import (
+        permute_for_tiles,
+        tile_inverse_and_ladj,
+        tile_logp_and_grad_streamed,
+    )
+    from tpuflows.targets import NealsFunnel
+
+    t = NealsFunnel(dim=16)
+    flow = build_flow(jax.random.normal(jax.random.key(1), (256, 16)),
+                      jax.random.key(2), kind="arqs", n_blocks=3, knots=8,
+                      hidden=(32, 32), mask_scheme="mixed", clamp=8.0,
+                      use_pallas=False)
+    fp = permute_for_tiles(flow)
+    z = jax.random.normal(jax.random.key(3), (64, 16))
+
+    def whole(zz):
+        x, ladj = tile_inverse_and_ladj(fp, zz)
+        return (t.log_density(x) + ladj)[:, None]
+
+    lp_ref, pull = jax.vjp(whole, z)
+    (g_ref,) = pull(jnp.ones_like(lp_ref))
+    lp_s, g_s = jax.jit(
+        lambda zz: tile_logp_and_grad_streamed(fp, zz, t.log_density))(z)
+    np.testing.assert_allclose(np.asarray(lp_s), np.asarray(lp_ref),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_driver_with_fused_transition():
     """NUTSDriver(transition=...) warms up (pooled DA + Welford) and draws;
     the result passes a loose moment check on the diag normal."""
