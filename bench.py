@@ -152,13 +152,31 @@ def main():
     # and the same-session A/B reads 142,437 vs 112,580 eff/s/chip
     # (1.27x metric; docs/artifacts/bench_generic_fused_ab.json).
     # PALLAS=0 forces the XLA path (the A/B baseline).
-    transition = None
+    # TPUFLOWS_BENCH_WINDOW=1: streaming multi-transition draw windows
+    # (make_fused_nuts_window: per-chain state machines, one leapfrog per
+    # chain per tick — no idling between transitions). Measured round 5
+    # (docs/artifacts/nuts_window_ab.json, same-session A/Bs): 2x LOSS on
+    # the ceiling variant (per-tick branchless bookkeeping ~ the tiny
+    # affine gradient itself) and PAR on the generic variant (draw wall
+    # 0.99 vs 1.03 s) — i.e. the "remaining 2x is inter-transition
+    # tile-lockstep" hypothesis is falsified; the per-transition fused
+    # kernel stays the default everywhere ("auto"/"0").
+    window_env = os.environ.get("TPUFLOWS_BENCH_WINDOW", "auto")
+    use_window = use_pallas and window_env == "1"
+    transition = window_transition = None
     if use_pallas:
-        from tpuflows.kernels.nuts_pallas import fused_nuts_for_flow
+        from tpuflows.kernels.nuts_pallas import (
+            fused_nuts_for_flow,
+            fused_nuts_window_for_flow,
+        )
 
         transition = fused_nuts_for_flow(target.log_density, flow,
                                          max_depth=MAX_DEPTH)
-    driver = NUTSDriver(logp, max_depth=MAX_DEPTH, transition=transition)
+        if use_window:
+            window_transition = fused_nuts_window_for_flow(
+                target.log_density, flow, window=32, max_depth=MAX_DEPTH)
+    driver = NUTSDriver(logp, max_depth=MAX_DEPTH, transition=transition,
+                        window_transition=window_transition)
     st_p = driver.warmup(jax.random.key(99), q0, NUM_WARMUP,
                          chunk_size=NUTS_CHUNK)
     # prime with a FULL window AND the same key-derivation op (fold_in) so

@@ -304,12 +304,28 @@ class NUTSDriver:
         warmup_schedule: str = "single",
         logp_and_grad: Callable | None = None,
         transition: Callable | None = None,
+        window_transition: Callable | None = None,
     ):
         """`transition(keys, q, eps, inv_mass) -> (q_new, NUTSInfo)` — a
         NATIVELY BATCHED transition (e.g. the fused Pallas kernel,
         kernels/nuts_pallas.make_fused_nuts_transition) used in place of
         vmap(make_nuts_kernel(...)). Requires pooled step size (the fused
-        kernel takes one scalar eps)."""
+        kernel takes one scalar eps).
+
+        `window_transition(key, q, eps, inv_mass) -> (draws (S, n, d),
+        NUTSInfo with (S, n) leaves)` — a STREAMING multi-draw window
+        (kernels/nuts_pallas.make_fused_nuts_window): when given, the
+        DRAW phase runs S transitions per kernel call with per-chain
+        state machines (no tile-lockstep idling between transitions);
+        warmup keeps the per-transition path (dual averaging pools the
+        accept statistic BETWEEN transitions, which one kernel spanning
+        grid tiles cannot do). `draws(num_samples)` must be a multiple
+        of the window size. A different exact-NUTS RNG stream from both
+        per-transition paths."""
+        if window_transition is not None and per_chain_step_size:
+            raise ValueError(
+                "window_transition= (batched kernel) requires pooled "
+                "step size")
         if transition is not None:
             if per_chain_step_size:
                 raise ValueError(
@@ -370,6 +386,23 @@ class NUTSDriver:
         self._sample_chunk = jax.jit(lambda carry, keys: jax.lax.scan(
             sample_body, carry, keys))
 
+        self._window_chunk = None
+        if window_transition is not None:
+            def window_body(carry, step_key):
+                q, eps, inv_mass = carry
+                draws, info = window_transition(step_key, q, eps, inv_mass)
+                return (draws[-1], eps, inv_mass), (draws, info)
+
+            # one jitted program scans W windows; outputs (W, S, n, d)
+            # are flattened to (W*S, n, d) by draws()
+            self._window_chunk = jax.jit(
+                lambda carry, keys: jax.lax.scan(window_body, carry, keys))
+            self._window_size = getattr(window_transition, "window", None)
+            if self._window_size is None:
+                raise ValueError(
+                    "window_transition must expose its window size as a "
+                    "`.window` attribute (make_fused_nuts_window does)")
+
     def warmup(
         self,
         key: jax.Array,
@@ -418,6 +451,8 @@ class NUTSDriver:
         chunk_size: Optional[int] = None,
     ) -> tuple:
         """(new_state, samples, info); call repeatedly to extend a run."""
+        if self._window_chunk is not None:
+            return self._window_draws(key, state, num_samples, chunk_size)
         carry = (state.q, state.step_size, state.inv_mass)
         sample_keys = jax.random.split(key, num_samples)
         step = chunk_size or num_samples
@@ -430,6 +465,35 @@ class NUTSDriver:
         info = jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=0), *[o[1] for o in outs]
         )
+        return (NUTSState(q=carry[0], step_size=state.step_size,
+                          inv_mass=state.inv_mass), samples, info)
+
+    def _window_draws(self, key, state, num_samples, chunk_size):
+        """Draw phase via the streaming window kernel: scan windows of S
+        transitions inside chunked jitted programs; flatten (W, S, ...)
+        outputs back to the per-draw layout."""
+        S = self._window_size
+        if num_samples % S:
+            raise ValueError(
+                f"num_samples={num_samples} must be a multiple of the "
+                f"window size {S}")
+        n_windows = num_samples // S
+        step_w = max(1, (chunk_size or num_samples) // S)
+        keys = jax.random.split(key, n_windows)
+        carry = (state.q, state.step_size, state.inv_mass)
+        outs = []
+        for lo in range(0, n_windows, step_w):
+            hi = min(lo + step_w, n_windows)
+            carry, out = self._window_chunk(carry, keys[lo:hi])
+            outs.append(out)
+
+        def flat(x):
+            return x.reshape(x.shape[0] * x.shape[1], *x.shape[2:])
+
+        samples = jnp.concatenate([flat(o[0]) for o in outs], axis=0)
+        info = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate([flat(x) for x in xs], axis=0),
+            *[o[1] for o in outs])
         return (NUTSState(q=carry[0], step_size=state.step_size,
                           inv_mass=state.inv_mass), samples, info)
 

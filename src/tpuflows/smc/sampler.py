@@ -71,10 +71,12 @@ class SMCConfig(NamedTuple):
     #                log q0_old) and matching logZ correction. The reweight
     #                is exact for a FIXED new flow; fitting q0_new on the
     #                same particles being reweighted inflates log q0_new
-    #                at those points (adaptive-overfit bias: +0.2 nats
-    #                logZ measured at 4k particles / dim 18 with
-    #                reweight_cross_fit=False). Default therefore
-    #                CROSS-FITS (below).
+    #                at those points (adaptive-overfit bias: +0.059
+    #                +-0.017 nats logZ, 3.5 sigma, at 4k particles /
+    #                dim 18 / retrain_every=1 with
+    #                reweight_cross_fit=False — docs/artifacts/
+    #                reweight_bias.json). Default therefore CROSS-FITS
+    #                (below).
     retrain_mode: str = "freeze"
     # Cross-fitted path switch (VERDICT r4 next #6, on by default): at a
     # "reweight" retrain, fit q0_new on HALF the particles (even strided
@@ -82,8 +84,9 @@ class SMCConfig(NamedTuple):
     # HELD-OUT half only: its weights are reweighted, the logZ increment
     # is computed from it, and the population is resampled back to n from
     # it. q0_new is independent of every particle it is evaluated on, so
-    # the switch is unbiased by construction (measured: the +0.2-nat
-    # repro drops to ~0 within MC error — scripts/reweight_bias.py).
+    # the switch is unbiased by construction (measured: -0.004 +-0.014
+    # nats vs +0.059 +-0.017 fit-on-all, same 12-replicate repro —
+    # docs/artifacts/reweight_bias.json, scripts/reweight_bias.py).
     # False restores the fit-on-all behavior (larger fit set, biased).
     reweight_cross_fit: bool = True
     # Extra stage executions at beta = 1 before the final resample. The
@@ -521,10 +524,16 @@ def run_smc(
         # (tests/test_smc.py).
         if cfg.retrain_every and (stage_idx + 1) % cfg.retrain_every == 0 \
                 and float(beta) < 1.0:
+            cross = (cfg.retrain_mode == "reweight"
+                     and cfg.reweight_cross_fit)
+            # cross-fitting: the fit sees only the EVEN-strided half, so
+            # the held-out half the switch is carried on is independent
+            # of q0_new (see SMCConfig.reweight_cross_fit)
+            x_fit = x[0::2] if cross else x
             if mesh is None:
                 res = policy.guard(
                     optimize_flow,
-                    k_train, x, flow, opt,
+                    k_train, x_fit, flow, opt,
                     nbatches=cfg.retrain_batches, nepochs=cfg.retrain_epochs,
                     phase=f"smc_retrain:{stage_idx}",
                 )
@@ -536,22 +545,32 @@ def run_smc(
 
                 res = policy.guard(
                     optimize_flow_dp,
-                    k_train, x, flow, mesh, optimizer=opt,
+                    k_train, x_fit, flow, mesh, optimizer=opt,
                     nbatches=cfg.retrain_batches, nepochs=cfg.retrain_epochs,
                     phase=f"smc_retrain:{stage_idx}",
                 )
             flow = res.result
             if cfg.retrain_mode == "reweight":
-                log_w, log_q0_x, sw_inc, sw_var = policy.guard(
-                    path_switch, flow, x, log_w, log_q0_x, beta,
-                    phase=f"smc_path_switch:{stage_idx}",
-                )
+                if cross:
+                    key, k_cf = jax.random.split(key)
+                    (x, log_w, log_q0_x, anc, sw_inc, sw_var) = \
+                        policy.guard(
+                            cross_fit_switch, flow, k_cf, x, log_w,
+                            log_q0_x, anc, beta,
+                            phase=f"smc_path_switch:{stage_idx}",
+                        )
+                else:
+                    log_w, log_q0_x, sw_inc, sw_var = policy.guard(
+                        path_switch, flow, x, log_w, log_q0_x, beta,
+                        phase=f"smc_path_switch:{stage_idx}",
+                    )
                 flow_q0 = flow
                 log_z = log_z + sw_inc
                 log_z_var = log_z_var + sw_var
                 if verbose:
                     print(f"[smc retrain {stage_idx}] path switch "
-                          f"log_z_inc={float(sw_inc):+.4f}")
+                          f"log_z_inc={float(sw_inc):+.4f}"
+                          f"{' (cross-fit)' if cross else ''}")
         if checkpoint_dir is not None:
             from tpuflows.io import save_pytree
 

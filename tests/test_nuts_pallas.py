@@ -129,6 +129,75 @@ def test_tile_flow_matches_reference_inverse():
     assert bool(jnp.all(info.num_steps >= 1))
 
 
+def test_window_math_samples_correct_moments():
+    """The streaming multi-transition window (`_window_math` — per-chain
+    state machine, one leapfrog per chain per tick) samples the same
+    distribution as the per-transition kernel: moment gates on the diag
+    normal. Continuation across windows via draws[-1]."""
+    from tpuflows.kernels.nuts_pallas import make_fused_nuts_window
+
+    t = _target()
+    d, n, S = 4, 256, 8
+    win = make_fused_nuts_window(lambda x, p: t.log_density(x), (),
+                                 window=S, max_depth=5, interpret=False)
+    eps = jnp.asarray(0.4)
+    im = jnp.asarray([1.0, 0.25, 4.0, 1.0], jnp.float32)
+    q = jax.random.normal(jax.random.key(0), (n, d), jnp.float32)
+    wj = jax.jit(win)
+    xs = []
+    for i in range(50):
+        draws, info = wj(jax.random.fold_in(jax.random.key(1), i), q,
+                         eps, im)
+        q = draws[-1]
+        if i >= 10:
+            xs.append(np.asarray(draws).reshape(-1, d))
+    x = np.concatenate(xs, 0)
+    tm = np.asarray(t.mean())
+    ts = np.asarray(jnp.sqrt(jnp.diagonal(t.cov())))
+    se = ts / np.sqrt(x.shape[0] / 5.0)
+    assert np.all(np.abs(x.mean(0) - tm) < 5 * se), (x.mean(0), tm)
+    np.testing.assert_allclose(x.std(0), ts, rtol=0.06)
+    assert float(jnp.mean(info.accept_prob)) > 0.6
+    assert bool(jnp.all(info.num_steps >= 1))
+
+
+def test_window_kernel_bitwise_matches_math_and_drives_driver():
+    """Interpret-mode Pallas window == plain-XLA window math on every
+    output (incl. row padding), and NUTSDriver(window_transition=...)
+    produces correctly shaped, continuable draws."""
+    from tpuflows.kernels.nuts_pallas import make_fused_nuts_window
+    from tpuflows.mcmc import NUTSDriver
+
+    t = _target()
+    d, n, S = 4, 20, 4
+    eps = jnp.asarray(0.4)
+    im = jnp.ones((d,), jnp.float32)
+    q = jax.random.normal(jax.random.key(0), (n, d), jnp.float32)
+    logp = lambda x, p: t.log_density(x)  # noqa: E731
+    w_m = make_fused_nuts_window(logp, (), window=S, max_depth=4,
+                                 tile_b=8, interpret=False)
+    w_p = make_fused_nuts_window(logp, (), window=S, max_depth=4,
+                                 tile_b=8, interpret=True)
+    dm, i_m = w_m(jax.random.key(1), q, eps, im)
+    dp, i_p = w_p(jax.random.key(1), q, eps, im)
+    assert jnp.array_equal(dm, dp)
+    assert jnp.array_equal(i_m.num_steps, i_p.num_steps)
+    assert jnp.array_equal(i_m.tree_depth, i_p.tree_depth)
+    assert jnp.array_equal(i_m.logp, i_p.logp)
+    assert jnp.array_equal(i_m.diverging, i_p.diverging)
+
+    drv = NUTSDriver(t.log_density, max_depth=4, window_transition=w_m)
+    st = drv.warmup(jax.random.key(2),
+                    jax.random.normal(jax.random.key(3), (64, d)), 150)
+    st2, z, info = drv.draws(jax.random.key(4), st, 2 * S, chunk_size=S)
+    assert z.shape == (2 * S, 64, d)
+    assert info.num_steps.shape == (2 * S, 64)
+    # continuation: next window starts from the last draw
+    assert jnp.array_equal(st2.q, z[-1])
+    with pytest.raises(ValueError):
+        drv.draws(jax.random.key(5), st, S + 1)  # not a window multiple
+
+
 def test_streamed_logp_grad_matches_whole_chain_vjp():
     """tile_flow.tile_logp_and_grad_streamed (per-block remat backward —
     the round-5 VMEM fix that lifts the fused-transition spline tile cap)
