@@ -103,6 +103,14 @@ class AdaptiveResult(NamedTuple):
     rounds: Sequence[AdaptiveRound]
     n_rounds: int
     converged: bool
+    # the PRECONDITIONER that achieved the highest sampling min-ESS
+    # across rounds (round 5: a later refit can regress the loop's own
+    # objective — round-7 of the committed funnel search pushed IS-ESS
+    # to 0.92 while bench-scale mixing DROPPED vs the round-5 flow — so
+    # the engine returns its best-measured flow alongside the last one;
+    # None until some round samples through a flow)
+    best_flow: Optional[Bijector] = None
+    best_min_ess: float = 0.0
 
 
 def _growth_mask_menu(dim: int):
@@ -243,6 +251,8 @@ def adaptive_fit(
     converged = False
     n_rounds = 0
     start_round = 0
+    best_flow = None
+    best_min_ess = 0.0
     opt = optax.adam(cfg.learning_rate)
 
     if checkpoint_dir is not None:
@@ -257,6 +267,8 @@ def adaptive_fit(
             rounds = [AdaptiveRound(*r) for r in state["rounds"]]
             start_round = int(state["next_round"])
             n_rounds = start_round
+            best_flow = state.get("best_flow", None)
+            best_min_ess = float(state.get("best_min_ess", 0.0))
             if verbose:
                 print(f"[adaptive] resumed at round {start_round}")
 
@@ -302,6 +314,11 @@ def adaptive_fit(
         rhat = split_rhat(draws)
         min_ess = jnp.min(ess)
         max_rhat = jnp.max(rhat)
+        # best-preconditioner tracking: this round's min_ess measures the
+        # flow the round SAMPLED through (before the refit below)
+        if flow is not None and float(min_ess) > best_min_ess:
+            best_min_ess = float(min_ess)
+            best_flow = flow
 
         # -- 2. retrain flow on pooled draws ------------------------------
         flat = draws.reshape(-1, dim)
@@ -360,16 +377,17 @@ def adaptive_fit(
         if checkpoint_dir is not None:
             from tpuflows.io import save_pytree
 
-            save_pytree(
-                f"{checkpoint_dir}/adaptive_{rnd + 1}",
-                {
-                    "flow": flow,
-                    "samples": samples,
-                    "key": key,
-                    "rounds": [tuple(r) for r in rounds],
-                    "next_round": jnp.asarray(rnd + 1),
-                },
-            )
+            state = {
+                "flow": flow,
+                "samples": samples,
+                "key": key,
+                "rounds": [tuple(r) for r in rounds],
+                "next_round": jnp.asarray(rnd + 1),
+            }
+            if best_flow is not None:
+                state["best_flow"] = best_flow
+                state["best_min_ess"] = jnp.asarray(best_min_ess)
+            save_pytree(f"{checkpoint_dir}/adaptive_{rnd + 1}", state)
         if verbose:
             print(
                 f"[adaptive round {rnd}] min_ess={float(min_ess):.1f} "
@@ -389,4 +407,6 @@ def adaptive_fit(
         rounds=rounds,
         n_rounds=n_rounds,
         converged=converged,
+        best_flow=best_flow if best_flow is not None else flow,
+        best_min_ess=best_min_ess,
     )

@@ -98,8 +98,11 @@ def _run_task(cfg) -> dict:
         res = adaptive_fit(k_task, target.log_density, dim, acfg, verbose=True)
         out = {"n_rounds": res.n_rounds, "converged": res.converged,
                "min_ess": float(res.rounds[-1].min_ess),
+               "best_min_ess": float(res.best_min_ess),
                "flow_is_ess": float(res.rounds[-1].flow_is_ess)}
-        state = res.flow
+        # ship the best-measured preconditioner, not necessarily the last
+        # refit (AdaptiveResult.best_flow)
+        state = res.best_flow if res.best_flow is not None else res.flow
     elif cfg.task == "nuts":
         q0 = jax.random.normal(k_data, (cfg.nuts.n_chains, dim))
         if cfg.nuts.preconditioned:

@@ -37,6 +37,28 @@ def test_adaptive_fit_runs_and_improves():
     assert (jnp.mean(x0 > 0) > 0.1) and (jnp.mean(x0 < 0) > 0.1)
 
 
+def test_adaptive_best_flow_tracking():
+    """round 5: the loop returns the PRECONDITIONER with the highest
+    sampling min-ESS across rounds (a later refit can regress the loop's
+    own objective — seen in the committed funnel search, where round 7's
+    refit pushed IS-ESS to 0.92 while bench-scale mixing dropped)."""
+    target = DiagNormal(loc=jnp.zeros(2), scale=jnp.ones(2))
+    cfg = AdaptiveConfig(
+        max_rounds=3, ess_threshold=1e9, n_chains=16, num_warmup=100,
+        num_samples=100, flow_kind="affine", n_blocks=2, hidden=(16,),
+        train_epochs=10, train_batches=4,
+    )
+    res = adaptive_fit(jax.random.key(3), target.log_density, 2, cfg)
+    assert res.best_flow is not None
+    # rounds 1.. sample through a flow; the best is the max of those
+    ess_through_flow = [float(r.min_ess) for r in res.rounds[1:]]
+    assert res.best_min_ess == pytest.approx(max(ess_through_flow))
+    # the best flow is a usable bijector (round-trips)
+    x = jax.random.normal(jax.random.key(4), (8, 2))
+    z = res.best_flow.forward(x)
+    assert jnp.allclose(res.best_flow.inverse(z), x, atol=1e-4)
+
+
 def test_adaptive_fit_ess_stopping():
     """Easy unimodal target: the ESS criterion triggers before max_rounds."""
     target = DiagNormal(loc=jnp.zeros(2), scale=jnp.ones(2))
