@@ -64,7 +64,7 @@ MAX_WINDOWS = 4
 # 512-draw window runs in ~0.26 s device time, far under the axon tunnel's
 # many-minute program kill threshold that originally forced 128-step chunks.
 NUTS_CHUNK = 512
-MAX_DEPTH = 6
+MAX_DEPTH = int(os.environ.get('TPUFLOWS_BENCH_MAX_DEPTH', '6'))
 RHAT_GATE = 1.05
 ESS_GATE = 10_000.0
 
