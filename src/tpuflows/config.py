@@ -95,8 +95,10 @@ class NUTSSpec:
     # tunneled chip while keeping per-call dispatch negligible
     chunk_size: int = 256
     # whole-transition Pallas NUTS (kernels/nuts_pallas.py): "auto" uses it
-    # on TPU for preconditioned runs with an affine flow (the validated
-    # regime, measured 1.65x draw wall-time); "on"/"off" force it
+    # on TPU for preconditioned runs with affine OR arqs/rqs flows (round
+    # 5: the streamed per-block spline backward made the spline path a
+    # measured 1.27x win — docs/artifacts/bench_generic_fused_ab.json);
+    # "on"/"off" force it. "on" requires preconditioned=true.
     fused_kernel: str = "auto"
 
 
