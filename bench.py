@@ -104,8 +104,9 @@ def main():
             # Coupling-kernel tier stays on the engine's auto policy
             # (XLA at d=64 — the fused coupling kernel's win regime is
             # d % 128 == 0).
+            nb = int(os.environ.get("TPUFLOWS_BENCH_GENERIC_BLOCKS", "3"))
             return build_flow(init, jax.random.key(2), kind="arqs",
-                              n_blocks=3, knots=8, hidden=(128, 128),
+                              n_blocks=nb, knots=8, hidden=(128, 128),
                               mask_scheme="mixed", clamp=8.0,
                               use_pallas="auto")
         return build_flow(init, jax.random.key(2), kind="affine", n_blocks=1,
