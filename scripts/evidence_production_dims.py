@@ -134,21 +134,23 @@ def hierarchical_part():
     t = HierarchicalGaussian.standard(dim=dim)
     truth = t.log_evidence()
     # IS lives and dies by KL(p || q): at 256-d every nat of forward KL
-    # costs ESS exponentially, and the budget that suffices for the
-    # bridge (which passes with a rough proposal) is nowhere near enough
-    # for plain IS. Fit provenance of this run is recorded in the
-    # artifact; earlier attempts (8k draws x 60 epochs: ESS 47; 32k x
-    # 300: ESS 83; +2-d spline block: ESS 26 — the spline hurt the
-    # tails) informed this recipe: pure affine leading-mask family (the
-    # conditional transport's exact family), large sample, long anneal.
+    # costs ESS exponentially. Four early-stopping-free fits failed IS
+    # here (weight-ESS 26-84 of 65,536, errors of nats) and the round-5
+    # diagnosis pinned the cause as pure OVER-TRAINING: the affine
+    # leading-mask family contains the conditional transport and the fit
+    # is essentially exact within ~3 epochs (held-out negll 405), after
+    # which hundreds more epochs balloon the held-out loss to 800-1700
+    # while the train loss keeps falling. optimize_flow(val_frac=...)
+    # early stopping (added on that finding) fixes it outright —
+    # measured fresh-draw KL ~ 0.0 and IS weight-ESS ~58k/65k.
     draws = t.sample(jax.random.key(10), 65536)
     flow = build_flow(draws, jax.random.key(11), kind="affine",
                       mask_scheme="leading", n_leading=2, n_blocks=2,
                       hidden=(256, 256), clamp=8.0)
     fres = optimize_flow(jax.random.key(12), draws, flow,
                          optax.adam(optax.cosine_decay_schedule(
-                             3e-3, 2000 * 16, alpha=0.003)),
-                         nbatches=16, nepochs=2000)
+                             1e-3, 600 * 16, alpha=0.01)),
+                         nbatches=16, nepochs=600, val_frac=0.1)
     flow = fres.result
 
     n_is = 65536
@@ -194,33 +196,17 @@ def main():
     rows = {"artifact": "evidence_production_dims",
             "backend": jax.default_backend(),
             "parts": [funnel_part(), hierarchical_part()]}
-    # Gate semantics (measured, round 5): at 64-d ALL routes are
-    # essentially exact (IS weight-ESS 65,437/65,536). At 256-d the
-    # bridge (and SMC-thermodynamic, committed) recover truth with the
-    # SAME imperfect proposal, while plain flow-IS does NOT — four fit
-    # recipes (8k x 60, 32k x 300, +2-d-spline, 64k x 2000 epochs) all
-    # left several nats of forward KL, and IS needs ~exp(-KL) weight
-    # efficiency, so its ESS diagnostic reads ~50-100 of 65,536 and the
-    # estimate is off by nats. That failure is SELF-DIAGNOSED by the
-    # returned `ess` (the production contract: trust IS only when its
-    # weight-ESS is healthy); the gate therefore covers IS at 64-d,
-    # bridge at both dims, and SMC at 256-d, and separately asserts that
-    # the 256-d IS run FLAGS itself (ess below 1% of n). Harmonic is
-    # reported as a diagnostic (evidence.py: "prefer IS/bridge").
-    gated = []
-    is_256_flagged = True
-    for p in rows["parts"]:
-        for r in p["routes"]:
-            if r["route"].startswith("harmonic"):
-                continue
-            if r["route"] == "is_flow_proposal" and p["dim"] >= 256:
-                is_256_flagged = (not r["gate_passed"]) == (
-                    r["weight_ess"] < 0.01 * r["n"])
-                continue
-            gated.append(r["gate_passed"])
-    rows["gated_routes_within_4se"] = bool(all(gated))
-    rows["is_256d_self_diagnosed"] = bool(is_256_flagged)
-    all_pass = rows["gated_routes_within_4se"] and is_256_flagged
+    # Gate: ALL of IS / bridge / SMC-thermodynamic within 4 s.e. + 0.02
+    # at BOTH dims (the strict reading of the round-4 item). History: the
+    # 256-d IS leg failed four early-stopping-free fits (self-diagnosed
+    # via weight-ESS 26-84 of 65,536) until the round-5 overfit diagnosis
+    # added optimize_flow(val_frac=...) — with it the fit is ~exact and
+    # IS passes with weight-ESS ~58k. Harmonic is reported as a
+    # diagnostic (evidence.py: "prefer IS/bridge").
+    all_pass = all(r["gate_passed"]
+                   for p in rows["parts"] for r in p["routes"]
+                   if not r["route"].startswith("harmonic"))
+    rows["gated_routes_within_4se"] = bool(all_pass)
     line = json.dumps(rows)
     print(line)
     with open(OUT, "w") as f:

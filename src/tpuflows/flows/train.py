@@ -60,6 +60,13 @@ class TrainResult:
     result: Bijector  # trained flow (reference returns `(result, ...)`)
     optimizer_state: object
     loss_hist: jax.Array  # (nepochs * nbatches,)
+    # with optimize_flow(val_frac > 0): per-epoch held-out loss and the
+    # epoch index whose parameters `result` carries (early stopping —
+    # round-5 finding: one-shot forward-KL fits overfit badly at high d,
+    # e.g. train negll 398 vs 1717 on fresh draws at d=256;
+    # docs/artifacts/evidence_production_dims.json diagnosis addendum)
+    val_hist: object = None  # (nepochs,) or None
+    best_epoch: object = None  # scalar int or None
 
 
 def _pmean_if(axis_name, tree):
@@ -122,15 +129,37 @@ def optimize_flow(
     shuffle_samples: bool = True,
     axis_name: Optional[str] = None,
     opt_state=None,
+    val_frac: float = 0.0,
 ) -> TrainResult:
     """Train `flow` on an (N, d) sample matrix by minibatch SGD.
 
     Signature mirrors the reference's optimize_flow (SURVEY.md §3.2); the
     entire nepochs x nbatches loop runs inside one jitted lax.scan.
+
+    `val_frac > 0` enables EARLY STOPPING: that fraction of the samples
+    is held out (never trained on), the held-out loss is evaluated once
+    per epoch inside the scan, and `result` carries the parameters of
+    the best-validation epoch (the final-epoch parameters remain
+    reachable through `optimizer_state` continuation if needed;
+    `val_hist`/`best_epoch` record the trajectory). Why: one-shot
+    forward-KL fits can overfit catastrophically at high d — measured
+    train negll 398 vs 1717 on fresh draws at d=256 (round-5 evidence
+    diagnosis). val_frac=0 is bit-identical to the historical behavior.
     """
     if optimizer is None:
         optimizer = optax.adam(1e-3)
     chex.assert_rank(samples, 2)  # (N, d) sample matrix
+    use_val = val_frac > 0.0
+    val = None
+    if use_val:
+        n_all = samples.shape[0]
+        n_val = max(int(n_all * val_frac), 1)
+        if n_val >= n_all:
+            raise ValueError(f"val_frac={val_frac} leaves no training data")
+        k_split, key = jax.random.split(key)
+        perm0 = jax.random.permutation(k_split, n_all)
+        val = samples[perm0[:n_val]]
+        samples = samples[perm0[n_val:]]
     n = samples.shape[0]
     bs = n // nbatches
     if bs == 0:
@@ -141,8 +170,9 @@ def optimize_flow(
     if opt_state is None:
         opt_state = optimizer.init(flow)
 
-    def epoch_body(carry, epoch_key):
-        flow, opt_state = carry
+    def epoch_body(carry, inp):
+        epoch_idx, epoch_key = inp
+        flow, opt_state, best_flow, best_vl, best_ep = carry
         if shuffle_samples:
             perm = jax.random.permutation(epoch_key, n)[:n_used]
         else:
@@ -157,20 +187,38 @@ def optimize_flow(
         (flow, opt_state), losses = jax.lax.scan(
             batch_body, (flow, opt_state), batches
         )
-        return (flow, opt_state), losses
+        if use_val:
+            vl = loss(flow, val)
+            better = vl < best_vl
+            best_flow = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(better, a, b), flow, best_flow)
+            best_vl = jnp.where(better, vl, best_vl)
+            best_ep = jnp.where(better, epoch_idx, best_ep)
+        else:
+            vl = jnp.asarray(jnp.nan)
+        return (flow, opt_state, best_flow, best_vl, best_ep), (losses, vl)
 
     epoch_keys = jax.random.split(key, nepochs)
 
     @jax.jit
     def run(flow, opt_state, epoch_keys):
-        (flow, opt_state), losses = jax.lax.scan(
-            epoch_body, (flow, opt_state), epoch_keys
+        init = (flow, opt_state, flow, jnp.asarray(jnp.inf),
+                jnp.asarray(-1, jnp.int32))
+        carry, (losses, vls) = jax.lax.scan(
+            epoch_body, init, (jnp.arange(nepochs), epoch_keys)
         )
-        return flow, opt_state, losses.reshape(-1)
+        flow, opt_state, best_flow, _, best_ep = carry
+        return flow, opt_state, best_flow, best_ep, losses.reshape(-1), vls
 
-    flow, opt_state, loss_hist = run(flow, opt_state, epoch_keys)
+    flow, opt_state, best_flow, best_ep, loss_hist, val_hist = run(
+        flow, opt_state, epoch_keys)
     _check_finite_loss(loss_hist)
-    return TrainResult(result=flow, optimizer_state=opt_state, loss_hist=loss_hist)
+    if use_val:
+        return TrainResult(result=best_flow, optimizer_state=opt_state,
+                           loss_hist=loss_hist, val_hist=val_hist,
+                           best_epoch=best_ep)
+    return TrainResult(result=flow, optimizer_state=opt_state,
+                       loss_hist=loss_hist)
 
 
 def make_reverse_kl_trainer(

@@ -143,3 +143,39 @@ def test_stl_estimator_fits_and_matches_elbo():
     # STL loss IS the negative ELBO estimate; for an exact fit of a
     # normalized target it converges to -log Z = 0.
     assert abs(float(jnp.mean(res.loss_hist[-50:]))) < 0.2
+
+
+def test_val_split_early_stopping():
+    """optimize_flow(val_frac>0): holds out data, tracks per-epoch val
+    loss, and returns the best-val-epoch parameters (round 5 — one-shot
+    forward-KL fits overfit at high d; measured train negll 398 vs 1717
+    on fresh draws at d=256). With val_frac=0 behavior is unchanged."""
+    import optax
+
+    from tpuflows.flows import build_flow, optimize_flow
+    from tpuflows.flows.train import negll_flow_loss
+    from tpuflows.targets import DiagNormal
+
+    target = DiagNormal(loc=jnp.zeros(8), scale=jnp.ones(8))
+    # small sample + big model + many epochs -> guaranteed overfit regime
+    samples = target.sample(jax.random.key(0), 192)
+    flow0 = build_flow(samples, jax.random.key(1), kind="affine",
+                       n_blocks=2, hidden=(64, 64))
+    res = optimize_flow(jax.random.key(2), samples, flow0,
+                        optax.adam(5e-3), nbatches=4, nepochs=150,
+                        val_frac=0.25)
+    assert res.val_hist.shape == (150,)
+    assert 0 <= int(res.best_epoch) < 150
+    # the returned params achieve the minimum of the val trajectory
+    fresh = target.sample(jax.random.key(3), 4096)
+    nll_best = float(negll_flow_loss(res.result, fresh))
+    # train a no-val run with identical keys: final params generalize no
+    # better than the early-stopped ones (ties possible; overfit regime
+    # makes a strict gap typical)
+    res_last = optimize_flow(jax.random.key(2), samples, flow0,
+                             optax.adam(5e-3), nbatches=4, nepochs=150)
+    nll_last = float(negll_flow_loss(res_last.result, fresh))
+    assert nll_best <= nll_last + 0.05, (nll_best, nll_last)
+    assert float(jnp.min(res.val_hist)) <= float(res.val_hist[-1]) + 1e-6
+    # val_frac=0 keeps the legacy result fields
+    assert res_last.val_hist is None and res_last.best_epoch is None
